@@ -31,7 +31,7 @@ def compute_vertex_map(cam: Camera, depth):
     return jnp.stack([x0 * depth, y0 * depth, depth], axis=-1)
 
 
-def compute_normals_from_vertex_map(vertex_map, depth_threshold=0.05):
+def compute_normals_from_vertex_map(vertex_map, depth_threshold=0.3):
     """Central-difference cross-product normals with depth-discontinuity
     gating (``processing.cpp:74-126``). Zero normal where invalid."""
     v = vertex_map
@@ -61,7 +61,7 @@ def compute_normals_from_vertex_map(vertex_map, depth_threshold=0.05):
     return jnp.where(valid[..., None], n, 0.0)
 
 
-def compute_normals(cam: Camera, depth, depth_threshold=0.05):
+def compute_normals(cam: Camera, depth, depth_threshold=0.3):
     return compute_normals_from_vertex_map(compute_vertex_map(cam, depth), depth_threshold)
 
 
@@ -89,7 +89,7 @@ def resize_depth(input_cam: Camera, depth, output_cam: Camera):
     return jnp.where(inside, d, 0.0)
 
 
-def erode_discontinuities(depth, window_size=2, max_depth_diff=0.05):
+def erode_discontinuities(depth, window_size=2, max_depth_diff=0.5):
     """Invalidate pixels whose (2k+1)² window contains a zero or a depth jump
     larger than max_depth_diff (``processing.cpp:184-235``).
 

@@ -1,0 +1,6 @@
+from intrinsic3d_tpu.mesh.extract import extract_surface  # noqa: F401
+from intrinsic3d_tpu.mesh.util import (  # noqa: F401
+    remove_degenerate_faces,
+    remove_loose_components,
+    remove_unused_vertices,
+)

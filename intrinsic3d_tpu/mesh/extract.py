@@ -1,0 +1,215 @@
+"""Iso-surface extraction from the sparse voxel grid.
+
+Capability-equivalent of the reference's table-driven marching cubes
+(``libintrinsic3d/src/mesh/marching_cubes.cpp``), re-designed as **marching
+tetrahedra over the Kuhn 6-tet cube decomposition**: the per-tet case tables are
+tiny and — rather than transcribing the classic 256×16 tables — are *derived
+numerically at import time*, with triangle orientation fixed by pointing normals
+toward positive SDF. The Kuhn decomposition is translation-invariant, so shared
+cube faces triangulate consistently and the surface is watertight wherever all
+cubes are active.
+
+As in the reference, a cube participates only when all 8 corners exist with
+weight > 0 (``marching_cubes.cpp:250-276``); vertices are placed by linear
+zero-crossing interpolation of SDF along tet edges and colors are interpolated
+the same way; exact-position vertex merging mirrors ``MarchingCubes::merge``
+(``marching_cubes.cpp:97-142``).
+
+The whole extraction is vectorized numpy (output-side path, not perf-critical).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from intrinsic3d_tpu.grid.voxel_grid import VoxelGrid, find_indices
+
+# cube corner offsets, ordered so that corner index bit k = axis k displacement
+_CUBE_CORNERS = np.array(
+    [[x, y, z] for z in (0, 1) for y in (0, 1) for x in (0, 1)], dtype=np.int64
+)
+# index by (x, y, z): corner id = x + 2*y + 4*z
+_CUBE_CORNERS = np.array(
+    [[i & 1, (i >> 1) & 1, (i >> 2) & 1] for i in range(8)], dtype=np.int64
+)
+
+# Kuhn decomposition: 6 tets around the main diagonal 0→7, as cube corner ids.
+# Each tet is (0, a, b, 7) where (a, b) walks one of the 6 paths of the cube
+# edge graph from corner 0 to corner 7.
+_KUHN_PATHS = [
+    (1, 3),  # x then y
+    (1, 5),  # x then z
+    (2, 3),  # y then x
+    (2, 6),  # y then z
+    (4, 5),  # z then x
+    (4, 6),  # z then y
+]
+_TET_CORNERS = []
+for a, b in _KUHN_PATHS:
+    tet = [0, a, b, 7]
+    p = _CUBE_CORNERS[tet].astype(np.float64)
+    vol = np.linalg.det(np.stack([p[1] - p[0], p[2] - p[0], p[3] - p[0]]))
+    if vol < 0:  # make all tets positively oriented
+        tet = [0, b, a, 7]
+    _TET_CORNERS.append(tet)
+_TET_CORNERS = np.array(_TET_CORNERS, dtype=np.int64)  # [6, 4]
+
+# local tet edges (pairs of local vertex ids 0..3)
+_TET_EDGES = np.array([(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)], dtype=np.int64)
+
+
+def _build_tet_table() -> np.ndarray:
+    """Triangle table for a positively-oriented tet: `[16, 2, 3]` local edge
+    ids (−1 = unused). Case bit i set ⇔ vertex i is inside (sdf < 0).
+    Orientation derived numerically: normals point toward the outside
+    (positive-SDF) side."""
+    verts = np.array(
+        [[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    )
+    table = -np.ones((16, 2, 3), dtype=np.int64)
+    edge_of = {tuple(sorted(e)): i for i, e in enumerate(map(tuple, _TET_EDGES))}
+
+    for case in range(1, 15):
+        inside = [i for i in range(4) if case & (1 << i)]
+        outside = [i for i in range(4) if not case & (1 << i)]
+        vals = np.where([i in inside for i in range(4)], -1.0, 1.0)
+        cut = [
+            (a, b)
+            for a in inside
+            for b in outside
+        ]
+        # zero-crossing midpoints (vals are ±1 → midpoint)
+        pts = {e: 0.5 * (verts[e[0]] + verts[e[1]]) for e in cut}
+        out_centroid = verts[outside].mean(axis=0)
+
+        def oriented(tri_edges):
+            p = [pts[e] for e in tri_edges]
+            n = np.cross(p[1] - p[0], p[2] - p[0])
+            c = (p[0] + p[1] + p[2]) / 3.0
+            return tri_edges if np.dot(n, out_centroid - c) > 0 else (
+                tri_edges[0],
+                tri_edges[2],
+                tri_edges[1],
+            )
+
+        tris = []
+        if len(inside) in (1, 3):
+            tris.append(oriented(tuple(cut)))
+        else:  # 2 inside, 2 outside → quad
+            a, b = inside
+            c, d = outside
+            quad = [(a, c), (a, d), (b, d), (b, c)]
+            # sort the 4 cut points into a convex loop around their centroid
+            p = np.array([pts[e] for e in quad])
+            ctr = p.mean(axis=0)
+            axis = out_centroid - verts[[a, b]].mean(axis=0)
+            axis = axis / np.linalg.norm(axis)
+            u = p[0] - ctr
+            u = u - axis * np.dot(u, axis)
+            u /= np.linalg.norm(u)
+            v = np.cross(axis, u)
+            ang = np.arctan2((p - ctr) @ v, (p - ctr) @ u)
+            order = np.argsort(ang)
+            loop = [quad[i] for i in order]
+            tris.append(oriented((loop[0], loop[1], loop[2])))
+            tris.append(oriented((loop[0], loop[2], loop[3])))
+
+        for t, tri in enumerate(tris):
+            table[case, t] = [edge_of[tuple(sorted(e))] for e in tri]
+    return table
+
+
+_TET_TABLE = _build_tet_table()
+
+# per-tet mapping: local edge id → (cube corner a, cube corner b)
+_TET_EDGE_CORNERS = _TET_CORNERS[:, _TET_EDGES]  # [6, 6, 2]
+
+
+def extract_surface(
+    grid: VoxelGrid,
+    sdf: Optional[np.ndarray] = None,
+    colors: Optional[np.ndarray] = None,
+    iso: float = 0.0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Extract the iso-surface mesh.
+
+    Returns (vertices `[V, 3]` world coords, faces `[F, 3]`, colors `[V, 3]`
+    0..255). `sdf`/`colors` default to the grid's fields.
+    """
+    values = grid.sdf if sdf is None else sdf
+    cols = grid.color if colors is None else colors
+    values = np.asarray(values, np.float64) - iso
+
+    # active cubes: all 8 corners present and weight > 0
+    corner_coords = grid.coords[:, None, :].astype(np.int64) + _CUBE_CORNERS[None, :, :]
+    cidx = find_indices(grid.keys, corner_coords)  # [N, 8]
+    ok = np.all((cidx >= 0) & (grid.weight[np.maximum(cidx, 0)] > 0.0), axis=-1)
+    cidx = cidx[ok]  # [C, 8]
+    if len(cidx) == 0:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32), np.zeros((0, 3), np.uint8)
+
+    base = grid.coords[ok].astype(np.float64) * grid.voxel_size  # [C, 3]
+    vals8 = values[cidx]  # [C, 8]
+    cols8 = cols[cidx]  # [C, 8, 3]
+    corner_pos = base[:, None, :] + _CUBE_CORNERS[None, :, :] * grid.voxel_size
+
+    all_tris = []  # (positions [T,3,3], colors [T,3,3])
+    for t in range(6):
+        tet = _TET_CORNERS[t]
+        tv = vals8[:, tet]  # [C, 4]
+        case = (
+            (tv[:, 0] < 0).astype(np.int64)
+            | ((tv[:, 1] < 0).astype(np.int64) << 1)
+            | ((tv[:, 2] < 0).astype(np.int64) << 2)
+            | ((tv[:, 3] < 0).astype(np.int64) << 3)
+        )
+        tris = _TET_TABLE[case]  # [C, 2, 3] local edge ids
+        for slot in range(2):
+            tri_edges = tris[:, slot]  # [C, 3]
+            use = tri_edges[:, 0] >= 0
+            if not np.any(use):
+                continue
+            te = tri_edges[use]  # [M, 3]
+            ci = np.flatnonzero(use)
+            # map local edges → cube corner pairs
+            ecorn = _TET_EDGE_CORNERS[t][te]  # [M, 3, 2]
+            a = ecorn[..., 0]
+            b = ecorn[..., 1]
+            va = np.take_along_axis(vals8[ci], a, axis=1)
+            vb = np.take_along_axis(vals8[ci], b, axis=1)
+            tt = va / np.where(va - vb == 0.0, 1e-30, va - vb)  # [M, 3]
+            tt = np.clip(tt, 0.0, 1.0)
+            pa = np.take_along_axis(corner_pos[ci], a[..., None], axis=1)
+            pb = np.take_along_axis(corner_pos[ci], b[..., None], axis=1)
+            pos = pa + (pb - pa) * tt[..., None]  # [M, 3, 3]
+            ca = np.take_along_axis(cols8[ci], a[..., None], axis=1)
+            cb = np.take_along_axis(cols8[ci], b[..., None], axis=1)
+            col = ca + (cb - ca) * tt[..., None]
+            all_tris.append((pos, col))
+
+    if not all_tris:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32), np.zeros((0, 3), np.uint8)
+
+    pos = np.concatenate([p for p, _ in all_tris], axis=0)  # [T, 3, 3]
+    col = np.concatenate([c for _, c in all_tris], axis=0)
+
+    # merge vertices by exact (quantized) position, as the reference merges by
+    # exact position equality
+    flat = pos.reshape(-1, 3)
+    quant = np.round(flat / (grid.voxel_size * 1e-6)).astype(np.int64)
+    uniq, inv = np.unique(quant, axis=0, return_inverse=True)
+    first_idx = np.full(len(uniq), len(flat), np.int64)
+    np.minimum.at(first_idx, inv, np.arange(len(flat)))
+    vertices = flat[first_idx].astype(np.float32)
+    vcolors = np.clip(col.reshape(-1, 3)[first_idx], 0, 255).astype(np.uint8)
+    faces = inv.reshape(-1, 3).astype(np.int32)
+
+    # drop degenerate faces (repeated vertex ids after merging)
+    good = (
+        (faces[:, 0] != faces[:, 1])
+        & (faces[:, 1] != faces[:, 2])
+        & (faces[:, 0] != faces[:, 2])
+    )
+    return vertices, faces[good], vcolors
