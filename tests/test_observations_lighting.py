@@ -1,0 +1,181 @@
+"""Observation machinery and SVSH lighting tests on analytic spheres."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from intrinsic3d_tpu.camera import Camera
+from intrinsic3d_tpu.grid.voxel_grid import NORMAL_OFFSETS, VoxelGrid
+from intrinsic3d_tpu.grid import ops as gops
+from intrinsic3d_tpu.lighting.sh import sh_basis, compute_shading
+from intrinsic3d_tpu.lighting.subvolumes import Subvolumes
+from intrinsic3d_tpu.lighting.svsh import estimate_svsh, voxel_sh_coeffs
+from intrinsic3d_tpu.mathutil import invert_pose, pose_matrix_to_vec
+from intrinsic3d_tpu.observations import collect_observations, recolor
+from tests.synthetic import look_at_pose, render_sphere_depth, sphere_sdf
+
+
+CENTER = np.array([0.0, 0.0, 0.6])
+RADIUS = 0.15
+VOXEL = 0.01
+
+
+def sphere_grid(sbr=True):
+    r = int((RADIUS + 6 * VOXEL) / VOXEL) + 1
+    cc = np.stack(np.meshgrid(*([np.arange(-r, r + 1)] * 3), indexing="ij"), axis=-1).reshape(
+        -1, 3
+    )
+    cc = cc + np.round(CENTER / VOXEL).astype(np.int64)
+    g = VoxelGrid.from_coords(VOXEL, cc, sbr=sbr)
+    pts = g.voxel_to_world()
+    sdf = sphere_sdf(pts, CENTER, RADIUS).astype(np.float32)
+    keep = np.abs(sdf) < g.truncation
+    g = g.select(keep)
+    pts = g.voxel_to_world()
+    g.sdf = sphere_sdf(pts, CENTER, RADIUS).astype(np.float32)
+    g.weight[:] = 1.0
+    if sbr:
+        g.sdf_refined = g.sdf.copy()
+        g.albedo[:] = 0.6
+    return g
+
+
+def grid_normals(g):
+    nbr4 = g.neighbor_table(NORMAL_OFFSETS)
+    n, ok = gops.surface_normals(
+        jnp.asarray(g.sdf_refined if g.is_sbr else g.sdf),
+        jnp.asarray(nbr4),
+        jnp.asarray(g.valid_mask()),
+    )
+    return np.asarray(n), np.asarray(ok)
+
+
+def test_surface_normals_match_analytic():
+    g = sphere_grid()
+    n, ok = grid_normals(g)
+    pts = g.voxel_to_world()
+    true_n = (pts - CENTER) / np.linalg.norm(pts - CENTER, axis=-1, keepdims=True)
+    sel = ok & (np.abs(g.sdf) < 2 * VOXEL)
+    dots = np.sum(n[sel] * true_n[sel], axis=-1)
+    assert np.median(dots) > 0.97
+
+
+def test_collect_observations_visibility():
+    g = sphere_grid()
+    n, ok = grid_normals(g)
+    pts = g.voxel_to_world()
+    iso = gops.voxel_center_to_iso(jnp.asarray(pts), jnp.asarray(n), jnp.asarray(g.sdf))
+
+    cam = Camera.create(80.0, 80.0, 39.5, 29.5, 80, 60)
+    T = look_at_pose([0.0, 0.0, 0.0], CENTER)
+    depth = render_sphere_depth(cam, T, CENTER, RADIUS)
+    pose_w2c = pose_matrix_to_vec(invert_pose(T))
+
+    w, f = collect_observations(
+        cam,
+        jnp.asarray(pose_w2c, jnp.float32)[None],
+        jnp.asarray(depth)[None],
+        jnp.asarray(iso),
+        jnp.asarray(n),
+        0.02,
+        num_best=5,
+    )
+    w = np.asarray(w)
+    shell = np.abs(g.sdf) < VOXEL
+    # front hemisphere (z < center z) well observed; back occluded
+    front = shell & ok & (pts[:, 2] < CENTER[2] - 0.02)
+    back = shell & (pts[:, 2] > CENTER[2] + 0.02)
+    assert (w[front, 0] > 0).mean() > 0.7
+    assert (w[back, 0] > 0).mean() < 0.05
+
+
+def test_recolor_constant_color():
+    g = sphere_grid()
+    n, ok = grid_normals(g)
+    pts = g.voxel_to_world()
+    iso = gops.voxel_center_to_iso(jnp.asarray(pts), jnp.asarray(n), jnp.asarray(g.sdf))
+
+    cam = Camera.create(80.0, 80.0, 39.5, 29.5, 80, 60)
+    poses, depths = [], []
+    for eye in ([0, 0, 0], [0.6, 0, 0.3], [-0.6, 0.05, 0.4]):
+        T = look_at_pose(eye, CENTER)
+        poses.append(pose_matrix_to_vec(invert_pose(T)))
+        depths.append(render_sphere_depth(cam, T, CENTER, RADIUS))
+    poses = jnp.asarray(np.stack(poses), jnp.float32)
+    depths = jnp.asarray(np.stack(depths))
+    colors = jnp.full((3, 60, 80, 3), 200.0, jnp.float32)
+
+    w, f = collect_observations(cam, poses, depths, jnp.asarray(iso), jnp.asarray(n), 0.02)
+    cols, has = recolor(cam, poses, depths, colors, jnp.asarray(iso), jnp.asarray(n), w, f, 0.02)
+    cols = np.asarray(cols)
+    has = np.asarray(has)
+    assert has.mean() > 0.5
+    np.testing.assert_allclose(cols[has], 200.0, atol=0.5)
+
+
+# -- subvolumes & SVSH ------------------------------------------------------
+
+
+def test_subvolumes_partition():
+    pts = np.array([[0.05, 0.05, 0.05], [0.25, 0.0, 0.0], [-0.01, 0.0, 0.0]])
+    sub = Subvolumes.compute(pts, 0.2)
+    assert sub.count == 3
+    ids = sub.point_to_subvolume(pts)
+    assert len(set(ids.tolist())) == 3
+    assert np.all(ids >= 0)
+    # a far-away point maps to no cell
+    assert sub.point_to_subvolume(np.array([[5.0, 5.0, 5.0]]))[0] == -1
+
+
+def test_subvolume_neighbor_pairs_directed():
+    pts = np.array([[0.1, 0.1, 0.1], [0.3, 0.1, 0.1]])  # two adjacent cells in x
+    sub = Subvolumes.compute(pts, 0.2)
+    pairs = sub.neighbor_pairs()
+    assert len(pairs) == 2  # both directions
+    assert {tuple(p) for p in pairs.tolist()} == {(0, 1), (1, 0)}
+
+
+def test_subvolume_interpolation_constant():
+    pts = np.random.default_rng(0).uniform(0, 0.6, size=(50, 3))
+    sub = Subvolumes.compute(pts, 0.2)
+    values = np.full((sub.count, 9), 3.0)
+    out = sub.interpolate_values(values, pts)
+    np.testing.assert_allclose(out, 3.0, rtol=1e-5)
+
+
+def test_svsh_recovers_uniform_lighting():
+    g = sphere_grid()
+    n, ok = grid_normals(g)
+    true_l = np.array([0.7, 0.1, 0.3, -0.1, 0.0, 0.05, 0.02, 0.0, -0.03])
+    shading = np.asarray(
+        compute_shading(jnp.asarray(true_l), jnp.asarray(n), jnp.asarray(g.albedo))
+    )
+    lum255 = np.clip(shading, 0.0, 1.0) * 255.0
+    g.color = np.stack([lum255] * 3, axis=-1).astype(np.float32)
+
+    res = estimate_svsh(g, subvolume_size=0.2, lambda_reg=1.0, thres_shell=2 * VOXEL)
+    assert res is not None
+    # every subvolume should recover ≈ the true lighting
+    for s in range(res.subvolumes.count):
+        np.testing.assert_allclose(res.coeffs[s], true_l, atol=0.05)
+
+    vox_coeffs = voxel_sh_coeffs(res, g, 2 * VOXEL)
+    shell = g.valid_mask() & (np.abs(g.sdf_refined) <= 2 * VOXEL)
+    np.testing.assert_allclose(
+        vox_coeffs[shell], np.broadcast_to(true_l, vox_coeffs[shell].shape), atol=0.05
+    )
+    # outside shell → zero
+    assert np.all(vox_coeffs[~shell] == 0.0)
+
+
+def test_svsh_regularizer_smooths_empty_subvolume():
+    # lighting varies; a subvolume with very few voxels still gets coeffs
+    g = sphere_grid()
+    n, ok = grid_normals(g)
+    shading = np.asarray(
+        compute_shading(jnp.zeros(9).at[0].set(0.8), jnp.asarray(n), jnp.asarray(g.albedo))
+    )
+    g.color = np.stack([np.clip(shading, 0, 1) * 255] * 3, axis=-1).astype(np.float32)
+    res = estimate_svsh(g, subvolume_size=0.1, lambda_reg=10.0, thres_shell=2 * VOXEL)
+    assert res is not None
+    assert np.all(np.isfinite(res.coeffs))
