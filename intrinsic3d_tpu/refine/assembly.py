@@ -1,0 +1,232 @@
+"""Per-iteration problem assembly.
+
+The equivalent of ``Optimizer::addVoxelResiduals`` + ``fixVoxelParams``
+(``libintrinsic3d/src/refinement/optimizer.cpp:176-361``): decide which voxels
+contribute which residuals, collect per-voxel observations with current poses,
+compute the per-type normalized weights, and emit static-shape device arrays.
+
+Shapes are fixed per (grid level, pyramid level) — only weight/index *values*
+change between outer iterations, so `gn_iteration` never recompiles within a
+level.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from intrinsic3d_tpu.camera import Camera
+from intrinsic3d_tpu.color import intensity as rgb_intensity
+from intrinsic3d_tpu.grid import ops as gops
+from intrinsic3d_tpu.grid.voxel_grid import (
+    EG_ALBEDO_OFFSETS,
+    EG_SDF_OFFSETS,
+    NORMAL_OFFSETS,
+    RING6_OFFSETS,
+    VoxelGrid,
+)
+from intrinsic3d_tpu.mathutil import sdf_to_weight
+from intrinsic3d_tpu.observations import collect_observations
+from intrinsic3d_tpu.refine.residuals import Assembly, Params, eg_residuals
+from intrinsic3d_tpu.refine.solver import Masks
+
+
+@dataclasses.dataclass
+class LevelTopology:
+    """Gather tables fixed for one grid level (active set is frozen)."""
+
+    eg_sdf10_idx: np.ndarray  # [N, 10]
+    eg_alb4_idx: np.ndarray  # [N, 4]
+    ring6_idx: np.ndarray  # [N, 6]
+    nbr4_idx: np.ndarray  # [N, 4] normal stencil
+    ea_pairs: np.ndarray  # [P, 2] unique undirected 6-ring pairs
+    coords: np.ndarray  # [N, 3]
+
+    @classmethod
+    def build(cls, grid: VoxelGrid) -> "LevelTopology":
+        eg_sdf10 = grid.neighbor_table(EG_SDF_OFFSETS)
+        eg_alb4 = grid.neighbor_table(EG_ALBEDO_OFFSETS)
+        ring6 = grid.neighbor_table(RING6_OFFSETS)
+        nbr4 = grid.neighbor_table(NORMAL_OFFSETS)
+        # all unique undirected adjacent pairs (dedup of the reference's
+        # voxels_added bookkeeping, ``optimizer.cpp:268-274``)
+        src = np.repeat(np.arange(grid.num_voxels), 6)
+        dst = ring6.reshape(-1)
+        ok = dst >= 0
+        pairs = np.sort(np.stack([src[ok], dst[ok]], axis=-1), axis=-1)
+        pairs = np.unique(pairs, axis=0).astype(np.int32)
+        return cls(
+            eg_sdf10_idx=eg_sdf10,
+            eg_alb4_idx=eg_alb4,
+            ring6_idx=ring6,
+            nbr4_idx=nbr4,
+            ea_pairs=pairs,
+            coords=grid.coords.astype(np.int32),
+        )
+
+
+def chroma_weights(colors: np.ndarray, pairs: np.ndarray) -> np.ndarray:
+    """Chromaticity-difference weights for albedo pairs
+    (``albedo_regularizer.cpp:60-72``). colors are 0..255 RGB."""
+    # NOTE the reference divides [0,1]-scaled color by the [0,255]-scaled luma
+    # (``albedo_regularizer.cpp:60-66``) — replicated verbatim for parity.
+    c01 = colors / 255.0
+    lum255 = np.asarray(rgb_intensity(jnp.asarray(colors)))
+    lum255 = np.where(lum255 == 0.0, 1e-12, lum255)
+    chroma = c01 / lum255[:, None]
+    d = np.linalg.norm(chroma[pairs[:, 0]] - chroma[pairs[:, 1]], axis=-1)
+    w = np.maximum(1.0 - d, 0.01)
+    return np.where(np.isfinite(w), w, 0.0).astype(np.float32)
+
+
+def build_assembly(
+    grid: VoxelGrid,
+    topo: LevelTopology,
+    params: Params,
+    cam_level: Camera,
+    depths_level: jnp.ndarray,  # [K, H, W] depth at pyramid level
+    images_level: jnp.ndarray,  # [K, H, W] intensity at pyramid level
+    voxel_sh: np.ndarray,  # [N, 9]
+    thres_shell: float,
+    occlusion_distance: float,
+    num_observations: int,
+    lambda_g: float,
+    lambda_r: float,
+    lambda_s: float,
+    lambda_a: float,
+    pyr_scale: float,
+    fix_poses: bool = False,
+    fix_intrinsics: bool = False,
+    fix_distortion: bool = False,
+) -> Tuple[Assembly, Masks]:
+    n = grid.num_voxels
+    sdfr = np.asarray(params.sdf)
+    weight_valid = grid.valid_mask()
+
+    # normals from current sdf_refined
+    normals_j, nvalid_j = gops.surface_normals(
+        params.sdf, jnp.asarray(topo.nbr4_idx), jnp.asarray(weight_valid)
+    )
+    normals = np.asarray(normals_j)
+    normal_ok = np.asarray(nvalid_j)
+
+    # residual-voxel gate (``optimizer.cpp:185-199``)
+    in_shell = weight_valid & (np.abs(sdfr) <= thres_shell)
+    gate = in_shell & normal_ok
+
+    ring_ok = np.all(
+        (topo.ring6_idx >= 0) & weight_valid[np.maximum(topo.ring6_idx, 0)], axis=-1
+    )
+
+    # --- E_g observations with current poses --------------------------------
+    pts = topo.coords.astype(np.float32) * grid.voxel_size
+    iso = gops.voxel_center_to_iso(jnp.asarray(pts), normals_j, params.sdf)
+    obs_w, obs_f = collect_observations(
+        cam_level,
+        params.poses,
+        depths_level,
+        iso,
+        normals_j,
+        occlusion_distance,
+        num_best=num_observations,
+    )
+    obs_w = np.asarray(obs_w)  # [N, B]
+    obs_f = np.asarray(obs_f)
+
+    stencil_ok = np.all(topo.eg_sdf10_idx >= 0, axis=-1)
+    w_sdf = np.asarray(sdf_to_weight(jnp.asarray(sdfr), grid.truncation))
+    eg_gate = gate & stencil_ok
+    eg_w = np.where(eg_gate[:, None], obs_w * w_sdf[:, None], 0.0)  # [N, B]
+
+    b = eg_w.shape[1]
+    eg_w = eg_w.reshape(-1).astype(np.float32)  # [N*B]
+    eg_frame = obs_f.reshape(-1).astype(np.int32)
+    rep = lambda a: np.repeat(a, b, axis=0)
+
+    asm = Assembly(
+        eg_sdf10_idx=jnp.asarray(rep(np.maximum(topo.eg_sdf10_idx, 0))),
+        eg_alb4_idx=jnp.asarray(rep(np.maximum(topo.eg_alb4_idx, 0))),
+        eg_frame=jnp.asarray(eg_frame),
+        eg_w=jnp.asarray(eg_w),
+        eg_sh=jnp.asarray(rep(voxel_sh.astype(np.float32))),
+        eg_vpos=jnp.asarray(rep(topo.coords)),
+        er_idx=jnp.asarray(
+            np.concatenate(
+                [np.arange(n, dtype=np.int32)[:, None], np.maximum(topo.ring6_idx, 0)],
+                axis=-1,
+            )
+        ),
+        er_w=jnp.asarray(
+            np.where(gate & ring_ok, 1.0, 0.0).astype(np.float32)
+            if lambda_r > 0.0
+            else np.zeros(n, np.float32)
+        ),
+        es_ref=jnp.asarray(grid.sdf.astype(np.float32)),
+        es_w=jnp.asarray(
+            np.where(gate, 1.0, 0.0).astype(np.float32)
+            if lambda_s > 0.0
+            else np.zeros(n, np.float32)
+        ),
+        ea_pairs=jnp.asarray(topo.ea_pairs),
+        ea_w=jnp.asarray(_ea_weights(grid, topo, gate, ring_ok, lambda_a)),
+        lam=jnp.zeros(4, jnp.float32),  # filled below
+        images=images_level,
+        pyr_scale=jnp.float32(pyr_scale),
+        voxel_size=jnp.float32(grid.voxel_size),
+    )
+
+    # drop E_g residuals that evaluate invalid at the linearization point
+    # (the reference evaluates each ShadingCost once before admitting it,
+    # ``shading_cost.cpp:136-147``)
+    probe = asm._replace(lam=jnp.asarray([1.0, 0.0, 0.0, 0.0], jnp.float32))
+    r_eg = np.asarray(eg_residuals(params, probe))
+    eg_w = np.where(r_eg != 0.0, eg_w, 0.0).astype(np.float32)
+
+    # per-type weight normalization ×1000 (``nls_solver.cpp:379-394``)
+    lam = np.zeros(4, np.float32)
+    for t, (lmbda, w_arr) in enumerate(
+        [
+            (lambda_g, eg_w),
+            (lambda_r, np.asarray(asm.er_w)),
+            (lambda_s, np.asarray(asm.es_w)),
+            (lambda_a, np.asarray(asm.ea_w)),
+        ]
+    ):
+        s = float(w_arr.sum())
+        lam[t] = (lmbda / s) * 1000.0 if (s > 0.0 and lmbda > 0.0) else 0.0
+    asm = asm._replace(eg_w=jnp.asarray(eg_w), lam=jnp.asarray(lam))
+
+    # --- parameter masks (``optimizer.cpp:285-361``) ------------------------
+    free_vox = in_shell & ring_ok
+    masks = Masks(
+        sdf=jnp.asarray(free_vox.astype(np.float32)),
+        albedo=jnp.asarray(
+            (free_vox & (lambda_a >= 0.0)).astype(np.float32)
+        ),
+        poses=jnp.full((params.poses.shape[0], 6), 0.0 if fix_poses else 1.0),
+        intr=jnp.full((4,), 0.0 if fix_intrinsics else 1.0),
+        dist=jnp.full((5,), 0.0 if fix_distortion else 1.0),
+    )
+    return asm, masks
+
+
+def _ea_weights(
+    grid: VoxelGrid,
+    topo: LevelTopology,
+    gate: np.ndarray,
+    ring_ok: np.ndarray,
+    lambda_a: float,
+) -> np.ndarray:
+    """Active albedo pairs: at least one endpoint passes the residual gate with
+    a valid ring (the reference emits a voxel's 6 edges when it is processed,
+    ``optimizer.cpp:255-276``); weight = chromaticity similarity."""
+    if lambda_a <= 0.0:
+        return np.zeros(len(topo.ea_pairs), np.float32)
+    active_vox = gate & ring_ok
+    i, j = topo.ea_pairs[:, 0], topo.ea_pairs[:, 1]
+    active = active_vox[i] | active_vox[j]
+    w = chroma_weights(grid.color, topo.ea_pairs)
+    return np.where(active, w, 0.0).astype(np.float32)

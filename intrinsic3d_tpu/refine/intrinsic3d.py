@@ -1,0 +1,275 @@
+"""Intrinsic3D orchestrator: the double coarse-to-fine refinement driver.
+
+Re-design of ``nv::Intrinsic3D`` (``libintrinsic3d/src/refinement/intrinsic3d.cpp``):
+convert the fused grid to the refinement voxel type, build per-keyframe RGB-D
+pyramids (depth resized to the color camera), then loop grid levels
+(coarse→fine, thin-shell sparsify, ×2 upsample between levels) × RGB-D pyramid
+levels (all levels only on the coarsest grid), per level estimating
+spatially-varying SH lighting and running the joint GN optimization; voxel
+colors are recomputed and refined poses/intrinsics written back after every
+level.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Callable, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from intrinsic3d_tpu.camera import Camera
+from intrinsic3d_tpu.config import RefinementConfig
+from intrinsic3d_tpu.grid import algorithms as alg
+from intrinsic3d_tpu.grid import ops as gops
+from intrinsic3d_tpu.grid.voxel_grid import NORMAL_OFFSETS, VoxelGrid
+from intrinsic3d_tpu.image.processing import resize_depth
+from intrinsic3d_tpu.image.pyramid import Pyramid
+from intrinsic3d_tpu.lighting.svsh import estimate_svsh, voxel_sh_coeffs
+from intrinsic3d_tpu.mathutil import (
+    compute_varying_lambda,
+    invert_pose,
+    pose_matrix_to_vec,
+    pose_vec_to_matrix,
+)
+from intrinsic3d_tpu.observations import collect_observations, recolor
+from intrinsic3d_tpu.refine.assembly import LevelTopology
+from intrinsic3d_tpu.refine.optimizer import optimize_level
+from intrinsic3d_tpu.refine.residuals import Params
+
+log = logging.getLogger("intrinsic3d")
+
+
+@dataclasses.dataclass
+class RefinementInfo:
+    grid_level: int
+    pyramid_level: int
+    num_grid_levels: int
+    num_pyramid_levels: int
+    grid: VoxelGrid
+    params: Params
+    lighting: object  # SVSHResult
+
+
+class Intrinsic3D:
+    """End-to-end joint appearance & geometry refinement."""
+
+    def __init__(
+        self,
+        cfg: RefinementConfig,
+        sensor,
+        keyframe_ids: List[int],
+        cg_iters: int = 12,
+    ):
+        self.cfg = cfg
+        self.sensor = sensor
+        self.keyframe_ids = list(keyframe_ids)
+        self.cg_iters = cg_iters
+        self.callbacks: List[Callable[[RefinementInfo], None]] = []
+        self.lighting = None
+
+        # image formation model (``intrinsic3d.cpp:151-203``)
+        cam = sensor.color_cam
+        self.intr0 = np.asarray(
+            [float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy)], np.float32
+        )
+        self.dist0 = np.zeros(5, np.float32)
+
+        log.info("   convert and store input frames (%d keyframes)", len(self.keyframe_ids))
+        depths, intens, colors, poses = [], [], [], []
+        for i in self.keyframe_ids:
+            color = sensor.color(i)  # [H, W, 3] float 0..1
+            depth = np.asarray(
+                resize_depth(sensor.depth_cam, jnp.asarray(sensor.depth(i)), cam)
+            )
+            pyr = Pyramid.create(cfg.num_rgbd_levels, color, depth)
+            depths.append([np.asarray(d) for d in pyr.depth])
+            intens.append([np.asarray(x) for x in pyr.intensity])
+            colors.append(np.asarray(pyr.color[0] * 255.0).astype(np.uint8))
+            T_w2c = invert_pose(sensor.pose(i))
+            poses.append(pose_matrix_to_vec(T_w2c))
+
+        self.num_levels = cfg.num_rgbd_levels
+        # stacked per-level device arrays
+        self.depths_lvl = [
+            jnp.asarray(np.stack([d[l] for d in depths])) for l in range(self.num_levels)
+        ]
+        self.intens_lvl = [
+            jnp.asarray(np.stack([x[l] for x in intens])) for l in range(self.num_levels)
+        ]
+        self.colors0 = jnp.asarray(np.stack(colors))  # [K, H, W, 3] u8
+        self.poses0 = np.stack(poses).astype(np.float32)  # [K, 6] world→cam
+
+    def add_callback(self, cb: Callable[[RefinementInfo], None]):
+        self.callbacks.append(cb)
+
+    # ------------------------------------------------------------------
+
+    def _current_cam(self, params: Params) -> Camera:
+        intr = np.asarray(params.intr)
+        return Camera.create(
+            intr[0],
+            intr[1],
+            intr[2],
+            intr[3],
+            self.sensor.color_cam.width,
+            self.sensor.color_cam.height,
+            dist=params.dist,
+        )
+
+    def recompute_colors(self, grid: VoxelGrid, params: Params) -> None:
+        """Full observation resweep recoloring (``intrinsic3d.cpp:381-409``)."""
+        nbr4 = grid.neighbor_table(NORMAL_OFFSETS)
+        normals, _ = gops.surface_normals(
+            params.sdf, jnp.asarray(nbr4), jnp.asarray(grid.valid_mask())
+        )
+        pts = jnp.asarray(grid.voxel_to_world())
+        iso = gops.voxel_center_to_iso(pts, normals, params.sdf)
+        cam = self._current_cam(params)
+        w, f = collect_observations(
+            cam,
+            params.poses,
+            self.depths_lvl[0],
+            iso,
+            normals,
+            self.cfg.occlusion_distance,
+            num_best=self.cfg.num_observations,
+        )
+        cols, has = recolor(
+            cam, params.poses, self.depths_lvl[0], self.colors0, iso, normals, w, f,
+            self.cfg.occlusion_distance,
+        )
+        cols = np.asarray(cols)
+        has = np.asarray(has)
+        grid.color = np.where(has[:, None], cols, grid.color).astype(np.float32)
+
+    def _write_back(self, grid: VoxelGrid, params: Params) -> None:
+        grid.sdf_refined = np.asarray(params.sdf).astype(np.float32)
+        grid.albedo = np.asarray(params.albedo).astype(np.float32)
+
+    def _update_sensor(self, params: Params) -> None:
+        """Refined poses/intrinsics back into the sensor
+        (``intrinsic3d.cpp:353-378``)."""
+        poses = np.asarray(params.poses)
+        for i, fid in enumerate(self.keyframe_ids):
+            T_w2c = pose_vec_to_matrix(poses[i])
+            self.sensor.set_pose(fid, invert_pose(T_w2c))
+        intr = np.asarray(params.intr)
+        cam = self.sensor.color_cam
+        self.sensor.color_cam = Camera.create(
+            intr[0], intr[1], intr[2], intr[3], cam.width, cam.height, np.asarray(params.dist)
+        )
+
+    # ------------------------------------------------------------------
+
+    def refine(self, fused: VoxelGrid) -> VoxelGrid:
+        """Run the full double coarse-to-fine refinement
+        (``intrinsic3d.cpp:206-295``). Returns the refined (finest) grid."""
+        cfg = self.cfg
+        grid = fused.to_sbr() if not fused.is_sbr else fused
+
+        params = Params(
+            sdf=jnp.asarray(grid.sdf_refined),
+            albedo=jnp.asarray(grid.albedo),
+            poses=jnp.asarray(self.poses0),
+            intr=jnp.asarray(self.intr0),
+            dist=jnp.asarray(self.dist0),
+        )
+        log.info("   initial SDF recolorization ...")
+        self.recompute_colors(grid, params)
+
+        mu = 1e-4
+        coarsest = cfg.num_grid_levels - 1
+        for grid_lvl in range(coarsest, -1, -1):
+            log.info("refinement on grid level %d (voxel %.4f, %d voxels)",
+                     grid_lvl, grid.voxel_size, grid.num_voxels)
+            # thin-shell threshold schedule (``intrinsic3d.cpp:298-318``)
+            factor = cfg.thin_shell_factor
+            if cfg.thin_shell_factor_final > 0.0:
+                factor = compute_varying_lambda(
+                    coarsest - grid_lvl,
+                    cfg.num_grid_levels,
+                    cfg.thin_shell_factor,
+                    cfg.thin_shell_factor_final,
+                )
+            thres_shell = factor * grid.voxel_size
+            if cfg.clear_distant_voxels:
+                grid = alg.clear_voxels_outside_thin_shell(grid, thres_shell)
+                log.info("   sparsified to %d voxels", grid.num_voxels)
+                params = Params(
+                    sdf=jnp.asarray(grid.sdf_refined),
+                    albedo=jnp.asarray(grid.albedo),
+                    poses=params.poses,
+                    intr=params.intr,
+                    dist=params.dist,
+                )
+
+            topo = LevelTopology.build(grid)
+
+            for rgbd_lvl in range(cfg.num_rgbd_levels - 1, -1, -1):
+                if rgbd_lvl > 0 and grid_lvl < coarsest:
+                    continue
+                log.info("level %d (pyramid %d)", grid_lvl, rgbd_lvl)
+
+                # lighting estimation (``intrinsic3d.cpp:250-270``)
+                self._write_back(grid, params)
+                svsh = estimate_svsh(
+                    grid,
+                    cfg.subvolume_size_sh,
+                    cfg.subvolume_sh_lambda_reg,
+                    thres_shell,
+                    weighted=True,
+                )
+                if svsh is None:
+                    log.warning("lighting estimation failed on level %d", grid_lvl)
+                    break
+                self.lighting = svsh
+                voxel_sh = voxel_sh_coeffs(svsh, grid, thres_shell)
+
+                params, mu, _ = optimize_level(
+                    grid,
+                    topo,
+                    params,
+                    cfg,
+                    self.sensor.color_cam,
+                    self.depths_lvl[rgbd_lvl],
+                    self.intens_lvl[rgbd_lvl],
+                    voxel_sh,
+                    thres_shell,
+                    rgbd_lvl,
+                    mu0=mu,
+                    cg_iters=self.cg_iters,
+                )
+
+                # finish rgbd level (``intrinsic3d.cpp:353-378``)
+                self._write_back(grid, params)
+                self.recompute_colors(grid, params)
+                self._update_sensor(params)
+
+                info = RefinementInfo(
+                    grid_level=grid_lvl,
+                    pyramid_level=rgbd_lvl,
+                    num_grid_levels=cfg.num_grid_levels,
+                    num_pyramid_levels=cfg.num_rgbd_levels,
+                    grid=grid,
+                    params=params,
+                    lighting=svsh,
+                )
+                for cb in self.callbacks:
+                    cb(info)
+
+            # finish grid level: ×2 upsample (``intrinsic3d.cpp:320-333``)
+            if grid_lvl > 0:
+                self._write_back(grid, params)
+                grid = alg.upsample(grid)
+                params = Params(
+                    sdf=jnp.asarray(grid.sdf_refined),
+                    albedo=jnp.asarray(grid.albedo),
+                    poses=params.poses,
+                    intr=params.intr,
+                    dist=params.dist,
+                )
+
+        self._write_back(grid, params)
+        return grid

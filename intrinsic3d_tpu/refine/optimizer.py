@@ -1,0 +1,104 @@
+"""Per-level optimization driver: the reference's ``Optimizer::optimize`` loop
+(``libintrinsic3d/src/refinement/optimizer.cpp:109-173``) — for each outer
+iteration: re-collect observations with the current parameters, rebuild the
+static-shape assembly with the scheduled λ_r/λ_s, and take one accepted damped
+Gauss-Newton step on device."""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from intrinsic3d_tpu.camera import Camera
+from intrinsic3d_tpu.config import RefinementConfig
+from intrinsic3d_tpu.grid.voxel_grid import VoxelGrid
+from intrinsic3d_tpu.mathutil import compute_varying_lambda, pyramid_level_to_scale
+from intrinsic3d_tpu.refine.assembly import LevelTopology, build_assembly
+from intrinsic3d_tpu.refine.residuals import Params
+from intrinsic3d_tpu.refine.solver import gn_iteration
+
+log = logging.getLogger("intrinsic3d")
+
+
+@dataclasses.dataclass
+class OptimizeStats:
+    costs_before: list
+    costs_after: list
+    tries: list
+
+
+def optimize_level(
+    grid: VoxelGrid,
+    topo: LevelTopology,
+    params: Params,
+    cfg: RefinementConfig,
+    base_cam: Camera,
+    depths_level: jnp.ndarray,  # [K, H, W]
+    images_level: jnp.ndarray,  # [K, H, W] intensity
+    voxel_sh: np.ndarray,  # [N, 9]
+    thres_shell: float,
+    rgbd_level: int,
+    mu0: float = 1e-4,
+    cg_iters: int = 12,
+) -> tuple[Params, float, OptimizeStats]:
+    """Run cfg.iterations relinearized GN steps; returns updated params and the
+    final damping (for warm-starting the next level, mirroring the reference's
+    trust-region warm start)."""
+    pyr_scale = pyramid_level_to_scale(rgbd_level)
+    h, w = int(depths_level.shape[1]), int(depths_level.shape[2])
+    mu = jnp.float32(mu0)
+    stats = OptimizeStats([], [], [])
+
+    for itr in range(cfg.iterations):
+        lambda_r = compute_varying_lambda(itr, cfg.iterations, cfg.lambda_r0, cfg.lambda_r1)
+        lambda_s = compute_varying_lambda(itr, cfg.iterations, cfg.lambda_s0, cfg.lambda_s1)
+
+        intr = np.asarray(params.intr)
+        cam_level = Camera.create(
+            intr[0] * pyr_scale,
+            intr[1] * pyr_scale,
+            intr[2] * pyr_scale,
+            intr[3] * pyr_scale,
+            w,
+            h,
+            dist=params.dist,
+        )
+        asm, masks = build_assembly(
+            grid,
+            topo,
+            params,
+            cam_level,
+            depths_level,
+            images_level,
+            voxel_sh,
+            thres_shell,
+            cfg.occlusion_distance,
+            cfg.num_observations,
+            cfg.lambda_g,
+            lambda_r,
+            lambda_s,
+            cfg.lambda_a,
+            pyr_scale,
+            cfg.fix_poses,
+            cfg.fix_intrinsics,
+            cfg.fix_distortion,
+        )
+        params, cost0, cost1, mu, tries = gn_iteration(
+            params, asm, masks, mu, cfg.lm_steps, cg_iters
+        )
+        stats.costs_before.append(float(cost0))
+        stats.costs_after.append(float(cost1))
+        stats.tries.append(int(tries))
+        log.info(
+            "   iter %d: cost %.6e -> %.6e (lm tries %d, mu %.2e)",
+            itr,
+            float(cost0),
+            float(cost1),
+            int(tries),
+            float(mu),
+        )
+    return params, float(mu), stats
