@@ -50,17 +50,18 @@ class Camera:
 
     @classmethod
     def create(cls, fx, fy, cx, cy, width, height, dist=None) -> "Camera":
+        """Host-side constructor: leaves are numpy (no device traffic until the
+        camera enters a jit as a pytree argument). Traced cameras are built by
+        the pytree machinery directly."""
         if dist is None:
-            dist = jnp.zeros(5, dtype=jnp.float32)
-        return cls(
-            jnp.asarray(fx, jnp.float32),
-            jnp.asarray(fy, jnp.float32),
-            jnp.asarray(cx, jnp.float32),
-            jnp.asarray(cy, jnp.float32),
-            int(width),
-            int(height),
-            jnp.asarray(dist, jnp.float32),
-        )
+            dist = np.zeros(5, dtype=np.float32)
+
+        def h(v):
+            # keep tracers as-is; concretize everything else on host
+            return v if isinstance(v, jax.core.Tracer) else np.float32(v)
+
+        dist = dist if isinstance(dist, jax.core.Tracer) else np.asarray(dist, np.float32)
+        return cls(h(fx), h(fy), h(cx), h(cy), int(width), int(height), dist)
 
     @classmethod
     def from_matrix(cls, K, width, height, dist=None) -> "Camera":

@@ -74,7 +74,7 @@ def chroma_weights(colors: np.ndarray, pairs: np.ndarray) -> np.ndarray:
     # NOTE the reference divides [0,1]-scaled color by the [0,255]-scaled luma
     # (``albedo_regularizer.cpp:60-66``) — replicated verbatim for parity.
     c01 = colors / 255.0
-    lum255 = np.asarray(rgb_intensity(jnp.asarray(colors)))
+    lum255 = 0.299 * colors[:, 0] + 0.587 * colors[:, 1] + 0.114 * colors[:, 2]
     lum255 = np.where(lum255 == 0.0, 1e-12, lum255)
     chroma = c01 / lum255[:, None]
     d = np.linalg.norm(chroma[pairs[:, 0]] - chroma[pairs[:, 1]], axis=-1)
@@ -137,7 +137,9 @@ def build_assembly(
     obs_f = np.asarray(obs_f)
 
     stencil_ok = np.all(topo.eg_sdf10_idx >= 0, axis=-1)
-    w_sdf = np.asarray(sdf_to_weight(jnp.asarray(sdfr), grid.truncation))
+    w_sdf = np.clip(
+        1.0 - np.minimum(np.abs(sdfr), grid.truncation) / grid.truncation, 0.01, 1.0
+    )
     eg_gate = gate & stencil_ok
     eg_w = np.where(eg_gate[:, None], obs_w * w_sdf[:, None], 0.0)  # [N, B]
 
@@ -164,6 +166,7 @@ def build_assembly(
             if lambda_r > 0.0
             else np.zeros(n, np.float32)
         ),
+        es_idx=jnp.arange(n, dtype=jnp.int32),
         es_ref=jnp.asarray(grid.sdf.astype(np.float32)),
         es_w=jnp.asarray(
             np.where(gate, 1.0, 0.0).astype(np.float32)

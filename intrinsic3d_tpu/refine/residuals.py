@@ -59,6 +59,7 @@ class Assembly(NamedTuple):
     er_idx: jnp.ndarray  # [N, 7] int32 {center, +x, −x, +y, −y, +z, −z}
     er_w: jnp.ndarray  # [N]
     # E_s
+    es_idx: jnp.ndarray  # [N] int32 voxel index of each anchor row
     es_ref: jnp.ndarray  # [N] fused sdf anchor
     es_w: jnp.ndarray  # [N]
     # E_a
@@ -208,7 +209,7 @@ def er_residuals(params: Params, asm: Assembly):
 
 def es_residuals(params: Params, asm: Assembly):
     """Weighted surface-stabilization residuals `[N]`."""
-    return jnp.sqrt(asm.es_w * asm.lam[2]) * (params.sdf - asm.es_ref)
+    return jnp.sqrt(asm.es_w * asm.lam[2]) * (params.sdf[asm.es_idx] - asm.es_ref)
 
 
 def ea_residuals(params: Params, asm: Assembly):

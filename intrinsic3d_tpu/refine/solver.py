@@ -116,7 +116,7 @@ def jtj_diag(params: Params, asm: Assembly) -> Params:
     d_sdf = d_sdf.at[asm.er_idx[:, 1:]].add(jnp.broadcast_to(wl_r[:, None], asm.er_idx[:, 1:].shape))
 
     # E_s: ∂r/∂sdf = 1
-    d_sdf = d_sdf + asm.es_w * asm.lam[2]
+    d_sdf = d_sdf.at[asm.es_idx].add(asm.es_w * asm.lam[2])
 
     # E_a: ∂r/∂a_i = 1, ∂r/∂a_j = −1
     wl_a = asm.ea_w * asm.lam[3]
