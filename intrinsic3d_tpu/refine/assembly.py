@@ -143,18 +143,30 @@ def build_assembly(
     eg_gate = gate & stencil_ok
     eg_w = np.where(eg_gate[:, None], obs_w * w_sdf[:, None], 0.0)  # [N, B]
 
-    b = eg_w.shape[1]
+    # --- compact to active elements -----------------------------------------
+    # TPU gathers/scatters pay a full memory tile per element, so dropping the
+    # ~75% inactive (voxel, obs) rows is a direct 4x on every solver pass.
+    # Pad to a power-of-two capacity so shapes stay static across outer
+    # iterations (stable jit cache).
     eg_w = eg_w.reshape(-1).astype(np.float32)  # [N*B]
     eg_frame = obs_f.reshape(-1).astype(np.int32)
-    rep = lambda a: np.repeat(a, b, axis=0)
+    active = np.flatnonzero(eg_w > 0.0)
+    cap = max(1024, 1 << int(np.ceil(np.log2(max(len(active), 1)))))
+    sel = np.zeros(cap, np.int64)
+    sel[: len(active)] = active
+    pad_w = np.zeros(cap, np.float32)
+    pad_w[: len(active)] = eg_w[active]
+    eg_w = pad_w
+    eg_frame = eg_frame[sel]
+    vox = sel // obs_w.shape[1]  # voxel id of each element
 
     asm = Assembly(
-        eg_sdf10_idx=jnp.asarray(rep(np.maximum(topo.eg_sdf10_idx, 0))),
-        eg_alb4_idx=jnp.asarray(rep(np.maximum(topo.eg_alb4_idx, 0))),
+        eg_sdf10_idx=jnp.asarray(np.maximum(topo.eg_sdf10_idx, 0)[vox]),
+        eg_alb4_idx=jnp.asarray(np.maximum(topo.eg_alb4_idx, 0)[vox]),
         eg_frame=jnp.asarray(eg_frame),
         eg_w=jnp.asarray(eg_w),
-        eg_sh=jnp.asarray(rep(voxel_sh.astype(np.float32))),
-        eg_vpos=jnp.asarray(rep(topo.coords)),
+        eg_sh=jnp.asarray(voxel_sh.astype(np.float32)[vox]),
+        eg_vpos=jnp.asarray(topo.coords[vox]),
         er_idx=jnp.asarray(
             np.concatenate(
                 [np.arange(n, dtype=np.int32)[:, None], np.maximum(topo.ring6_idx, 0)],
