@@ -173,7 +173,7 @@ def interpolate_fields(grid: VoxelGrid, positions: np.ndarray):
     w = np.where(
         _CORNER_OFFS[None, :, :] == 1, frac[:, None, :], 1.0 - frac[:, None, :]
     ).prod(axis=-1)  # [M, 8]
-    idx = find_indices(grid.keys, corners)  # [M, 8]
+    idx = grid.lookup(corners)  # [M, 8]
     valid = (idx >= 0) & (grid.weight[np.maximum(idx, 0)] > 0.0)
     w = np.where(valid, w, 0.0)
     cnt = valid.sum(axis=-1)

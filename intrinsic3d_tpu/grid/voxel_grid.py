@@ -172,12 +172,25 @@ class VoxelGrid:
 
     def neighbor_table(self, offsets: np.ndarray) -> np.ndarray:
         """Gather-index table `[N, S]` for the given stencil offsets `[S, 3]`;
-        −1 marks absent neighbors."""
+        −1 marks absent neighbors. Uses the native C++ hash (intrinsic3d_tpu.native)
+        when available, vectorized searchsorted otherwise."""
+        from intrinsic3d_tpu import native
+
+        out = native.neighbor_table(self.coords, np.asarray(offsets, np.int32))
+        if out is not None:
+            return out
         q = self.coords[:, None, :] + offsets[None, :, :]
         return find_indices(self.keys, q)
 
     def lookup(self, coords: np.ndarray) -> np.ndarray:
-        return find_indices(self.keys, np.asarray(coords, dtype=np.int64))
+        """Table indices of query coords (−1 absent); native-accelerated."""
+        from intrinsic3d_tpu import native
+
+        coords = np.asarray(coords, dtype=np.int64)
+        out = native.find_indices(self.coords, coords.reshape(-1, 3))
+        if out is not None:
+            return out.reshape(coords.shape[:-1])
+        return find_indices(self.keys, coords)
 
     def exists(self, coords: np.ndarray) -> np.ndarray:
         return self.lookup(coords) >= 0

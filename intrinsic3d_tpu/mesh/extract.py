@@ -144,7 +144,7 @@ def extract_surface(
 
     # active cubes: all 8 corners present and weight > 0
     corner_coords = grid.coords[:, None, :].astype(np.int64) + _CUBE_CORNERS[None, :, :]
-    cidx = find_indices(grid.keys, corner_coords)  # [N, 8]
+    cidx = grid.lookup(corner_coords)  # [N, 8]
     ok = np.all((cidx >= 0) & (grid.weight[np.maximum(cidx, 0)] > 0.0), axis=-1)
     cidx = cidx[ok]  # [C, 8]
     if len(cidx) == 0:
