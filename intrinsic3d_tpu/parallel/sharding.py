@@ -69,6 +69,7 @@ def shard_assembly(asm: Assembly, mesh: Mesh, axis: str = "data") -> Assembly:
         eg_sdf10_idx=srow(asm.eg_sdf10_idx),
         eg_alb4_idx=srow(asm.eg_alb4_idx),
         eg_frame=srow(asm.eg_frame),
+        eg_onehot=srow(asm.eg_onehot, 0.0),
         eg_w=srow(asm.eg_w, 0.0),
         eg_sh=srow(asm.eg_sh, 0.0),
         eg_vpos=srow(asm.eg_vpos),

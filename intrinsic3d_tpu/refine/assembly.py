@@ -160,10 +160,18 @@ def build_assembly(
     eg_frame = eg_frame[sel]
     vox = sel // obs_w.shape[1]  # voxel id of each element
 
+    num_frames = int(params.poses.shape[0])
+    if num_frames <= 64:
+        onehot = np.zeros((cap, num_frames), np.float32)
+        onehot[np.arange(cap), eg_frame] = 1.0
+    else:
+        onehot = np.zeros((cap, 0), np.float32)
+
     asm = Assembly(
         eg_sdf10_idx=jnp.asarray(np.maximum(topo.eg_sdf10_idx, 0)[vox]),
         eg_alb4_idx=jnp.asarray(np.maximum(topo.eg_alb4_idx, 0)[vox]),
         eg_frame=jnp.asarray(eg_frame),
+        eg_onehot=jnp.asarray(onehot),
         eg_w=jnp.asarray(eg_w),
         eg_sh=jnp.asarray(voxel_sh.astype(np.float32)[vox]),
         eg_vpos=jnp.asarray(topo.coords[vox]),

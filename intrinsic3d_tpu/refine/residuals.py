@@ -52,6 +52,7 @@ class Assembly(NamedTuple):
     eg_sdf10_idx: jnp.ndarray  # [M, 10] int32 into sdf (stencil order of the ref)
     eg_alb4_idx: jnp.ndarray  # [M, 4] int32 into albedo {v, +x, +y, +z}
     eg_frame: jnp.ndarray  # [M] int32 keyframe index
+    eg_onehot: jnp.ndarray  # [M, K] f32 one-hot of eg_frame, or [M, 0] to disable
     eg_w: jnp.ndarray  # [M] observation·shell weight (0 = inactive)
     eg_sh: jnp.ndarray  # [M, 9] per-voxel interpolated SH coefficients
     eg_vpos: jnp.ndarray  # [M, 3] int32 voxel coords
@@ -178,10 +179,18 @@ def rotate_angle_axis_batched(aa, pts):
 
 
 def eg_residuals(params: Params, asm: Assembly):
-    """Weighted E_g residual vector `[M]`."""
+    """Weighted E_g residual vector `[M]`.
+
+    Pose rows are contracted through the one-hot matrix when present: the MXU
+    turns the per-element pose gather (and its transposed scatter in vjp) into
+    a matmul — scattered-element access is the TPU's weak spot, small-K
+    contractions are its strength."""
     sdf10 = params.sdf[asm.eg_sdf10_idx]
     alb4 = params.albedo[asm.eg_alb4_idx]
-    pose6 = params.poses[asm.eg_frame]
+    if asm.eg_onehot.shape[1]:
+        pose6 = jnp.dot(asm.eg_onehot, params.poses, preferred_element_type=jnp.float32)
+    else:
+        pose6 = params.poses[asm.eg_frame]
     r = eg_core(
         sdf10,
         alb4,

@@ -131,15 +131,24 @@ def jtj_diag(params: Params, asm: Assembly) -> Params:
 # ---------------------------------------------------------------------------
 
 
-def _pcg(matvec, precond, b: Params, iters: int) -> Params:
+def _pcg(matvec, precond, b: Params, iters: int, eta: float = 0.1) -> Params:
+    """Preconditioned CG with the inexact-Newton forcing-sequence exit the
+    reference's CGNR uses (Ceres solves the Newton system only to a relative
+    tolerance η per LM step): stop when ‖r‖ ≤ η·‖b‖ or after `iters`."""
     x = _tmap(jnp.zeros_like, b)
     r = b
     z = precond(r)
     p = z
     rz = _tdot(r, z)
+    rr0 = _tdot(b, b)
+    tol2 = (eta * eta) * rr0
 
-    def body(_, state):
-        x, r, p, rz = state
+    def cond(state):
+        x, r, p, rz, i = state
+        return (i < iters) & (_tdot(r, r) > tol2)
+
+    def body(state):
+        x, r, p, rz, i = state
         ap = matvec(p)
         alpha = rz / jnp.maximum(_tdot(p, ap), 1e-30)
         x = _tmap(lambda xi, pi: xi + alpha * pi, x, p)
@@ -148,9 +157,9 @@ def _pcg(matvec, precond, b: Params, iters: int) -> Params:
         rz_new = _tdot(r, z)
         beta = rz_new / jnp.maximum(rz, 1e-30)
         p = _tmap(lambda zi, pi: zi + beta * pi, z, p)
-        return x, r, p, rz_new
+        return x, r, p, rz_new, i + 1
 
-    x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x, r, p, rz))
+    x, _, _, _, _ = jax.lax.while_loop(cond, body, (x, r, p, rz, jnp.int32(0)))
     return x
 
 
