@@ -106,13 +106,21 @@ def _alloc_frame(
     X, Y, Z = dims
     offs = jnp.linspace(-truncation, truncation, num_steps)
 
-    def body(occ, off):
-        pts_cam = rays * (depth + off)[..., None]
+    # process ray steps in chunks with one big scatter each — a scan carrying
+    # the (large) occupancy buffer makes XLA copy it per step
+    chunk = 8
+    pad_steps = (-num_steps) % chunk
+    offs = jnp.concatenate([offs, jnp.full(pad_steps, jnp.nan)]) if pad_steps else offs
+
+    for c in range(0, num_steps + pad_steps, chunk):
+        off = offs[c : c + chunk]  # [C]
+        d = depth[None, :, :] + off[:, None, None]  # [C, H, W]
+        pts_cam = rays[None] * d[..., None]
         pts_w = pts_cam @ rot.T + trans
         vox = jnp.round(pts_w / voxel_size).astype(jnp.int32)
         idx = vox - lo.astype(jnp.int32)
-        valid = depth > 0.0
-        valid &= jnp.all((idx >= 0), axis=-1)
+        valid = (depth[None] > 0.0) & jnp.isfinite(d)
+        valid &= jnp.all(idx >= 0, axis=-1)
         valid &= (idx[..., 0] < X) & (idx[..., 1] < Y) & (idx[..., 2] < Z)
         use_clip = jnp.any(clip != 0.0)
         pw = vox.astype(jnp.float32) * voxel_size
@@ -127,9 +135,7 @@ def _alloc_frame(
         valid &= jnp.where(use_clip, in_clip, True)
         flat = (idx[..., 0] * Y + idx[..., 1]) * Z + idx[..., 2]
         flat = jnp.where(valid, flat, X * Y * Z)  # out-of-range → dropped
-        return occ.at[flat.reshape(-1)].set(True, mode="drop"), None
-
-    occupancy, _ = jax.lax.scan(body, occupancy, offs)
+        occupancy = occupancy.at[flat.reshape(-1)].set(True, mode="drop")
     return occupancy
 
 
