@@ -188,7 +188,12 @@ def eg_residuals(params: Params, asm: Assembly):
     sdf10 = params.sdf[asm.eg_sdf10_idx]
     alb4 = params.albedo[asm.eg_alb4_idx]
     if asm.eg_onehot.shape[1]:
-        pose6 = jnp.dot(asm.eg_onehot, params.poses, preferred_element_type=jnp.float32)
+        pose6 = jnp.dot(
+            asm.eg_onehot,
+            params.poses,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
     else:
         pose6 = params.poses[asm.eg_frame]
     r = eg_core(
