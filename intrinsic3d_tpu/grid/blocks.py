@@ -1,0 +1,151 @@
+"""Block-dense voxel layout — groundwork for the gather-free stencil solver.
+
+The flat-table solver pays one scattered memory access per stencil tap inside
+every PCG matvec (see BENCH_NOTES.md). This module provides the dense-block
+alternative the architecture plans for (ARCHITECTURE.md, SURVEY §7.1): voxels
+partitioned into B³ blocks, fields stored as `[nb, B, B, B]` arrays, and a
+precomputed **halo expansion** `[nb, B+lo+hi, ...]` whose interior is a pure
+reshape and whose shell is one structured gather — after which every fixed
+stencil offset is a shifted dense slice, not a gather.
+
+Round-1 usage: the E_r Laplacian and stencil neighborhood ops are implemented
+and verified equivalent to the gather-table forms; the round-2 plan moves the
+E_g/E_r/E_a tangent chains of the GN matvec onto this layout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from intrinsic3d_tpu.grid.voxel_grid import VoxelGrid, pack_coords
+
+
+@dataclasses.dataclass
+class BlockLayout:
+    """Mapping between a sorted voxel table and dense B³ blocks."""
+
+    block: int  # B, block edge length
+    lo: int  # halo cells before the block on each axis
+    hi: int  # halo cells after
+    block_coords: np.ndarray  # [nb, 3] block grid coords
+    vox_slot: np.ndarray  # [N] flat index into [nb * B³] for each table voxel
+    occupied: np.ndarray  # [nb * B³] bool — slot holds a table voxel
+    halo_src: np.ndarray  # [nb, W, W, W] int32 into [nb * B³], −1 absent
+    dense_to_vox: np.ndarray  # [nb * B³] int32 table index per slot (−1 empty)
+
+    @property
+    def num_blocks(self) -> int:
+        return len(self.block_coords)
+
+    @property
+    def window(self) -> int:
+        return self.block + self.lo + self.hi
+
+    @classmethod
+    def build(cls, grid: VoxelGrid, block: int = 8, lo: int = 1, hi: int = 2) -> "BlockLayout":
+        """Partition the grid's voxels into blocks and precompute the halo
+        gather plan (margins sized for the E_g stencil: −1 … +2)."""
+        B = block
+        coords = grid.coords.astype(np.int64)
+        bc = np.floor_divide(coords, B)
+        bkeys = pack_coords(bc)
+        ukeys, binv = np.unique(bkeys, return_inverse=True)
+        nb = len(ukeys)
+        from intrinsic3d_tpu.grid.voxel_grid import unpack_keys
+
+        block_coords = unpack_keys(ukeys)
+
+        lc = coords - bc * B  # [N,3] in [0,B)
+        slot = (lc[:, 0] * B + lc[:, 1]) * B + lc[:, 2]
+        vox_slot = (binv * (B**3) + slot).astype(np.int64)
+
+        occupied = np.zeros(nb * B**3, bool)
+        occupied[vox_slot] = True
+        dense_to_vox = np.full(nb * B**3, -1, np.int32)
+        dense_to_vox[vox_slot] = np.arange(len(coords), dtype=np.int32)
+
+        # halo plan: for each block, every window position → owning slot
+        W = B + lo + hi
+        r = np.arange(-lo, B + hi)
+        gx, gy, gz = np.meshgrid(r, r, r, indexing="ij")  # [W,W,W]
+        offs = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)  # [W³,3]
+        # absolute voxel coords of every window cell of every block
+        abs_coords = (
+            block_coords[:, None, :] * B + offs[None, :, :]
+        )  # [nb, W³, 3]
+        owner_bc = np.floor_divide(abs_coords, B)
+        owner_keys = pack_coords(owner_bc.reshape(-1, 3))
+        pos = np.searchsorted(ukeys, owner_keys)
+        pos_c = np.clip(pos, 0, nb - 1)
+        hit = (pos < nb) & (ukeys[pos_c] == owner_keys)
+        owner_id = np.where(hit, pos_c, -1)
+        olc = abs_coords.reshape(-1, 3) - owner_bc.reshape(-1, 3) * B
+        oslot = (olc[:, 0] * B + olc[:, 1]) * B + olc[:, 2]
+        flat = np.where(owner_id >= 0, owner_id * (B**3) + oslot, -1)
+        # absent blocks → −1; present-but-empty slots stay (masking uses occupancy)
+        halo_src = flat.reshape(nb, W, W, W).astype(np.int64)
+
+        return cls(
+            block=B,
+            lo=lo,
+            hi=hi,
+            block_coords=block_coords,
+            vox_slot=vox_slot,
+            occupied=occupied,
+            halo_src=halo_src,
+            dense_to_vox=dense_to_vox,
+        )
+
+    # -- field transport ---------------------------------------------------
+
+    def to_dense(self, field) -> jnp.ndarray:
+        """[N] table field → [nb, B, B, B] dense blocks (empty slots 0)."""
+        B = self.block
+        out = jnp.zeros(self.num_blocks * B**3, jnp.asarray(field).dtype)
+        out = out.at[jnp.asarray(self.vox_slot)].set(jnp.asarray(field))
+        return out.reshape(self.num_blocks, B, B, B)
+
+    def from_dense(self, dense) -> jnp.ndarray:
+        """[nb, B, B, B] → [N] table order."""
+        return dense.reshape(-1)[jnp.asarray(self.vox_slot)]
+
+    def halo(self, dense, fill=0.0) -> jnp.ndarray:
+        """[nb, B, B, B] → [nb, W, W, W] halo-expanded windows.
+
+        One structured gather; after it every stencil offset is a static
+        shifted slice via `shifted`."""
+        flat = dense.reshape(-1)
+        src = jnp.asarray(self.halo_src)
+        vals = flat[jnp.maximum(src, 0)]
+        return jnp.where(src >= 0, vals, fill)
+
+    def shifted(self, halo_arr, offset: Tuple[int, int, int]) -> jnp.ndarray:
+        """Dense view of field at `voxel + offset` for every block voxel:
+        `[nb, B, B, B]` slice of the halo windows."""
+        B = self.block
+        ox, oy, oz = (o + self.lo for o in offset)
+        return halo_arr[:, ox : ox + B, oy : oy + B, oz : oz + B]
+
+    def occupancy_dense(self) -> jnp.ndarray:
+        return jnp.asarray(self.occupied.reshape(self.num_blocks, self.block, self.block, self.block))
+
+
+def block_laplacian(layout: BlockLayout, sdf_table) -> jnp.ndarray:
+    """E_r Laplacian for every table voxel via halo slices (gather-free in the
+    stencil): equivalent to grid/ops.py::laplacian with absent neighbors
+    contributing the center value."""
+    d = layout.to_dense(sdf_table)
+    vd = layout.occupancy_dense().astype(jnp.float32)
+    h = layout.halo(d)
+    vh = layout.halo(vd)
+    center = layout.shifted(h, (0, 0, 0))
+    acc = -6.0 * center
+    for off in ((1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)):
+        nb = layout.shifted(h, off)
+        present = layout.shifted(vh, off)
+        acc = acc + jnp.where(present > 0.0, nb, center)
+    return layout.from_dense(acc)

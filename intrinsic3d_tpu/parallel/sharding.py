@@ -37,7 +37,17 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
     if len(devs) < n:
-        raise RuntimeError(f"requested {n} devices, only {len(devs)} available")
+        # fall back to the (possibly force-multiplied) host CPU devices — the
+        # driver validates multi-chip sharding on a virtual CPU mesh while the
+        # default platform may still be the single attached TPU
+        try:
+            cpu = jax.devices("cpu")
+        except RuntimeError:
+            cpu = []
+        if len(cpu) >= n:
+            devs = cpu
+        else:
+            raise RuntimeError(f"requested {n} devices, only {len(devs)} available")
     return Mesh(np.array(devs[:n]), (axis,))
 
 
