@@ -32,10 +32,12 @@ class BlockLayout:
     lo: int  # halo cells before the block on each axis
     hi: int  # halo cells after
     block_coords: np.ndarray  # [nb, 3] block grid coords
+    block_keys: np.ndarray  # [nb] sorted packed block keys
     vox_slot: np.ndarray  # [N] flat index into [nb * B³] for each table voxel
     occupied: np.ndarray  # [nb * B³] bool — slot holds a table voxel
     halo_src: np.ndarray  # [nb, W, W, W] int32 into [nb * B³], −1 absent
     dense_to_vox: np.ndarray  # [nb * B³] int32 table index per slot (−1 empty)
+    nbr27: np.ndarray  # [nb, 27] neighbor block row per 3³ direction; nb = absent
 
     @property
     def num_blocks(self) -> int:
@@ -89,16 +91,48 @@ class BlockLayout:
         # absent blocks → −1; present-but-empty slots stay (masking uses occupancy)
         halo_src = flat.reshape(nb, W, W, W).astype(np.int64)
 
+        # 27-direction block adjacency: one row per (block, 3³ direction) → the
+        # neighbor's row, or `nb` (the zero pad block) when absent. This is the
+        # whole "halo exchange plan": filling halos becomes 27 structured
+        # block-row gathers instead of per-cell gathers.
+        d = np.arange(-1, 2)
+        ddx, ddy, ddz = np.meshgrid(d, d, d, indexing="ij")
+        dirs = np.stack([ddx, ddy, ddz], axis=-1).reshape(-1, 3)  # [27, 3]
+        nbr_bc = block_coords[:, None, :] + dirs[None, :, :]  # [nb, 27, 3]
+        nbr_keys = pack_coords(nbr_bc.reshape(-1, 3))
+        npos = np.searchsorted(ukeys, nbr_keys)
+        npos_c = np.clip(npos, 0, nb - 1)
+        nhit = (npos < nb) & (ukeys[npos_c] == nbr_keys)
+        nbr27 = np.where(nhit, npos_c, nb).reshape(nb, 27).astype(np.int32)
+
         return cls(
             block=B,
             lo=lo,
             hi=hi,
             block_coords=block_coords,
+            block_keys=ukeys,
             vox_slot=vox_slot,
             occupied=occupied,
             halo_src=halo_src,
             dense_to_vox=dense_to_vox,
+            nbr27=nbr27,
         )
+
+    def slots_of(self, coords: np.ndarray) -> np.ndarray:
+        """Flat slot index into `[nb * B³]` for voxel coords `[..., 3]`
+        (−1 where the owning block is absent)."""
+        B = self.block
+        shape = coords.shape[:-1]
+        c = np.asarray(coords, np.int64).reshape(-1, 3)
+        bc = np.floor_divide(c, B)
+        keys = pack_coords(bc)
+        pos = np.searchsorted(self.block_keys, keys)
+        pos_c = np.clip(pos, 0, self.num_blocks - 1)
+        hit = (pos < self.num_blocks) & (self.block_keys[pos_c] == keys)
+        lc = c - bc * B
+        slot = (lc[:, 0] * B + lc[:, 1]) * B + lc[:, 2]
+        out = np.where(hit, pos_c * (B**3) + slot, -1)
+        return out.reshape(shape).astype(np.int64)
 
     # -- field transport ---------------------------------------------------
 
@@ -132,6 +166,57 @@ class BlockLayout:
 
     def occupancy_dense(self) -> jnp.ndarray:
         return jnp.asarray(self.occupied.reshape(self.num_blocks, self.block, self.block, self.block))
+
+
+def _halo_rng(d: int, B: int, lo: int, hi: int):
+    """(src, dst) slices along one axis for block-neighbor direction d."""
+    if d == -1:
+        return slice(B - lo, B), slice(0, lo)
+    if d == 0:
+        return slice(0, B), slice(lo, lo + B)
+    return slice(0, hi), slice(lo + B, lo + B + hi)
+
+
+def halo27(field_pad: jnp.ndarray, nbr27: jnp.ndarray, lo: int = 1, hi: int = 2) -> jnp.ndarray:
+    """Structured halo expansion `[nb+1, B,B,B] → [nb, W,W,W]`.
+
+    `field_pad` carries one trailing all-zero pad block that absent neighbors
+    point at. 27 block-row gathers (one per direction) + static region copies —
+    and, crucially, XLA transposes this to the mirror-image 27 block-row
+    scatter-adds inside `linear_transpose`/vjp, so the GN matvec inherits the
+    structured (gather-row-cheap) form automatically."""
+    nb = nbr27.shape[0]
+    B = field_pad.shape[-1]
+    W = lo + B + hi
+    out = jnp.zeros((nb, W, W, W), field_pad.dtype)
+    d = 0
+    for dx in (-1, 0, 1):
+        sx, tx = _halo_rng(dx, B, lo, hi)
+        for dy in (-1, 0, 1):
+            sy, ty = _halo_rng(dy, B, lo, hi)
+            for dz in (-1, 0, 1):
+                sz, tz = _halo_rng(dz, B, lo, hi)
+                if (dx, dy, dz) == (0, 0, 0):
+                    blk = field_pad[:-1]
+                else:
+                    if min(sx.stop - sx.start, sy.stop - sy.start, sz.stop - sz.start) == 0:
+                        d += 1
+                        continue
+                    blk = field_pad[nbr27[:, d]]
+                out = out.at[:, tx, ty, tz].set(blk[:, sx, sy, sz])
+                d += 1
+    return out
+
+
+def shifted27(halo_arr: jnp.ndarray, offset, B: int, lo: int = 1) -> jnp.ndarray:
+    """`[nb, B,B,B]` view of a halo expansion at `voxel + offset` (static)."""
+    ox, oy, oz = (int(o) + lo for o in offset)
+    return halo_arr[:, ox : ox + B, oy : oy + B, oz : oz + B]
+
+
+def pad_block(field: jnp.ndarray) -> jnp.ndarray:
+    """Append the all-zero pad block: `[nb, B,B,B] → [nb+1, B,B,B]`."""
+    return jnp.concatenate([field, jnp.zeros_like(field[:1])], axis=0)
 
 
 def block_laplacian(layout: BlockLayout, sdf_table) -> jnp.ndarray:

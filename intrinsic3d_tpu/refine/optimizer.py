@@ -17,7 +17,9 @@ from intrinsic3d_tpu.camera import Camera
 from intrinsic3d_tpu.config import RefinementConfig
 from intrinsic3d_tpu.grid.voxel_grid import VoxelGrid
 from intrinsic3d_tpu.mathutil import compute_varying_lambda, pyramid_level_to_scale
+from intrinsic3d_tpu.grid.blocks import BlockLayout
 from intrinsic3d_tpu.refine.assembly import LevelTopology, build_assembly
+from intrinsic3d_tpu.refine.blockform import params_from_block, to_block_problem
 from intrinsic3d_tpu.refine.residuals import Params
 from intrinsic3d_tpu.refine.solver import gn_iteration
 
@@ -44,14 +46,20 @@ def optimize_level(
     rgbd_level: int,
     mu0: float = 1e-4,
     cg_iters: int = 12,
+    use_blocks: bool = True,
 ) -> tuple[Params, float, OptimizeStats]:
     """Run cfg.iterations relinearized GN steps; returns updated params and the
     final damping (for warm-starting the next level, mirroring the reference's
-    trust-region warm start)."""
+    trust-region warm start).
+
+    `use_blocks` runs the solver on the block-dense layout (gather-free
+    stencils in the PCG matvec, see refine/blockform.py); the flat-table path
+    is kept as the equivalence oracle."""
     pyr_scale = pyramid_level_to_scale(rgbd_level)
     h, w = int(depths_level.shape[1]), int(depths_level.shape[2])
     mu = jnp.float32(mu0)
     stats = OptimizeStats([], [], [])
+    layout = BlockLayout.build(grid) if use_blocks else None
 
     for itr in range(cfg.iterations):
         lambda_r = compute_varying_lambda(itr, cfg.iterations, cfg.lambda_r0, cfg.lambda_r1)
@@ -87,9 +95,18 @@ def optimize_level(
             cfg.fix_intrinsics,
             cfg.fix_distortion,
         )
-        params, cost0, cost1, mu, tries = gn_iteration(
-            params, asm, masks, mu, cfg.lm_steps, cg_iters
-        )
+        if use_blocks:
+            bparams, basm, bmasks = to_block_problem(
+                layout, topo.coords, asm, masks, params
+            )
+            bparams, cost0, cost1, mu, tries = gn_iteration(
+                bparams, basm, bmasks, mu, cfg.lm_steps, cg_iters
+            )
+            params = params_from_block(layout, bparams)
+        else:
+            params, cost0, cost1, mu, tries = gn_iteration(
+                params, asm, masks, mu, cfg.lm_steps, cg_iters
+            )
         stats.costs_before.append(float(cost0))
         stats.costs_after.append(float(cost1))
         stats.tries.append(int(tries))

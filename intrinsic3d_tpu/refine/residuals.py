@@ -87,8 +87,15 @@ def _catmull_rom_w(t):
 
 def catrom_sample_frames(images, fid, x, y):
     """Catmull-Rom bicubic sample of `images[fid]` at (x, y), batched over
-    elements — one fused 16-tap gather. Callers must guarantee
-    x∈[1, W−2), y∈[1, H−2) (enforced via clipping + validity masks)."""
+    elements. Callers must guarantee x∈[1, W−2), y∈[1, H−2) (enforced via
+    clipping + validity masks).
+
+    The 16 taps are fetched as ONE (1,4,4)-slice gather per sample point
+    (vmapped `dynamic_slice`): TPU gather cost is per gather *row*, not per
+    element fetched (BENCH_NOTES.md), so a 4×4 patch row costs what a single
+    scalar tap costs — a 16× row reduction over per-tap gathers. The pre-clip
+    keeps every patch fully in bounds, so `dynamic_slice`'s start clamping
+    never fires and the result matches the per-tap formulation exactly."""
     h, w = images.shape[1], images.shape[2]
     x = jnp.clip(x, 1.0, w - 2.001)
     y = jnp.clip(y, 1.0, h - 2.001)
@@ -98,13 +105,23 @@ def catrom_sample_frames(images, fid, x, y):
     ty = y - y0
     wxs = _catmull_rom_w(tx)
     wys = _catmull_rom_w(ty)
+
+    def patch_of(f, yy, xx):
+        return jax.lax.dynamic_slice(images, (f, yy - 1, xx - 1), (1, 4, 4))[0]
+
+    if jnp.ndim(x) == 0:
+        patch = patch_of(fid, y0, x0)  # [4, 4]
+    else:
+        batch = x0.shape
+        patch = jax.vmap(patch_of)(
+            fid.reshape(-1), y0.reshape(-1), x0.reshape(-1)
+        ).reshape(batch + (4, 4))
+
     acc = 0.0
     for j in range(4):
-        yi = jnp.clip(y0 + (j - 1), 0, h - 1)
         row = 0.0
         for i in range(4):
-            xi = jnp.clip(x0 + (i - 1), 0, w - 1)
-            row = row + images[fid, yi, xi] * wxs[i]
+            row = row + patch[..., j, i] * wxs[i]
         acc = acc + row * wys[j]
     return acc
 
@@ -163,6 +180,26 @@ def eg_core(sdf10, alb4, pose6, intr4, dist5, sh9, vpos3, fid, images, pyr_scale
     d = (sh4[..., 1:] - sh4[..., :1]) - (lum4[..., 1:] - lum4[..., :1])
     r = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
     return jnp.where(valid, r, 0.0)
+
+
+def eg_elem(local29, sh9, vpos3, fid, images, pyr_scale, voxel_size, sqrt_wlam):
+    """One weighted E_g residual from its 29 local parameters
+    {10 sdf, 4 albedo, 6 pose, 4 intr, 5 dist} — the per-element form the
+    solver `jacfwd`s for the exact Jacobi diag(JᵀJ)."""
+    r = eg_core(
+        local29[:10],
+        local29[10:14],
+        local29[14:20],
+        local29[20:24],
+        local29[24:29],
+        sh9,
+        vpos3,
+        fid,
+        images,
+        pyr_scale,
+        voxel_size,
+    )
+    return sqrt_wlam * r
 
 
 def rotate_angle_axis_batched(aa, pts):

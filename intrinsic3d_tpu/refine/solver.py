@@ -29,12 +29,28 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from intrinsic3d_tpu.refine import blockform
 from intrinsic3d_tpu.refine.residuals import (
     Assembly,
     Params,
     all_residuals,
-    eg_core,
+    eg_elem,
 )
+
+
+def residual_stack(params: "Params", asm) -> jnp.ndarray:
+    """Layout dispatch: the weighted residual vector for either a flat-table
+    `Assembly` or a `blockform.BlockAssembly` (same energy, different memory
+    layout — see blockform's module docstring)."""
+    if isinstance(asm, blockform.BlockAssembly):
+        return blockform.block_all_residuals(params, asm)
+    return all_residuals(params, asm)
+
+
+def diag_of(params: "Params", asm) -> "Params":
+    if isinstance(asm, blockform.BlockAssembly):
+        return blockform.jtj_diag_block(params, asm)
+    return jtj_diag(params, asm)
 
 
 class Masks(NamedTuple):
@@ -64,23 +80,6 @@ def _mask(m: Masks, v: Params) -> Params:
 # ---------------------------------------------------------------------------
 
 
-def _eg_elem(local29, sh9, vpos3, fid, images, pyr_scale, voxel_size, sqrt_wlam):
-    r = eg_core(
-        local29[:10],
-        local29[10:14],
-        local29[14:20],
-        local29[20:24],
-        local29[24:29],
-        sh9,
-        vpos3,
-        fid,
-        images,
-        pyr_scale,
-        voxel_size,
-    )
-    return sqrt_wlam * r
-
-
 def jtj_diag(params: Params, asm: Assembly) -> Params:
     """Exact diag(JᵀJ) of the weighted residual stack."""
     n = params.sdf.shape[0]
@@ -99,7 +98,7 @@ def jtj_diag(params: Params, asm: Assembly) -> Params:
     )
     sqrt_wlam = jnp.sqrt(asm.eg_w * asm.lam[0])
     jac = jax.vmap(
-        jax.jacfwd(_eg_elem, argnums=0),
+        jax.jacfwd(eg_elem, argnums=0),
         in_axes=(0, 0, 0, 0, None, None, None, 0),
     )(local, asm.eg_sh, asm.eg_vpos, asm.eg_frame, asm.images, asm.pyr_scale, asm.voxel_size, sqrt_wlam)
     j2 = jac * jac  # [M, 29]
@@ -182,12 +181,12 @@ def gn_iteration(
 
     Returns (params', cost_before, cost_after, mu', num_tries).
     """
-    r0, jlin = jax.linearize(lambda p: all_residuals(p, asm), params)
+    r0, jlin = jax.linearize(lambda p: residual_stack(p, asm), params)
     jt = jax.linear_transpose(jlin, params)
     cost0 = 0.5 * jnp.sum(r0 * r0)
 
     grad = jt(r0)[0]
-    diag = jtj_diag(params, asm)
+    diag = diag_of(params, asm)
     # auto-fix parameters that appear in no residual (zero Jacobian column);
     # convert to Params so tree_maps see one pytree type
     masks = Params(*(m * (d > 0.0) for m, d in zip(masks, diag)))
@@ -213,7 +212,7 @@ def gn_iteration(
         delta = _pcg(matvec, precond, b, cg_iters)
         delta = _mask(masks, delta)
         cand = _tmap(lambda p, d: p + d, params, delta)
-        cost = 0.5 * jnp.sum(jnp.square(all_residuals(cand, asm)))
+        cost = 0.5 * jnp.sum(jnp.square(residual_stack(cand, asm)))
         return cand, cost
 
     def cond(state):

@@ -1,0 +1,121 @@
+"""Block-dense problem form ≡ flat-table form (refine/blockform.py).
+
+The block layout is a pure re-layout of the same energy: total cost, gradient,
+exact Jacobi diagonal, and full GN iterations must match the table path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from intrinsic3d_tpu.grid.blocks import BlockLayout
+from intrinsic3d_tpu.refine import blockform
+from intrinsic3d_tpu.refine.residuals import all_residuals
+from intrinsic3d_tpu.refine.solver import gn_iteration, jtj_diag
+from intrinsic3d_tpu.synthetic import build_sphere_problem
+
+
+@pytest.fixture(scope="module")
+def prob():
+    return build_sphere_problem(
+        voxel_size=0.02,
+        image_size=(64, 48),
+        num_frames=2,
+        num_observations=2,
+        perturb_sdf=0.002,
+        perturb_albedo=0.05,
+    )
+
+
+@pytest.fixture(scope="module")
+def block_problem(prob):
+    asm, masks = prob.assemble()
+    layout = BlockLayout.build(prob.grid, block=4)
+    bparams, basm, bmasks = blockform.to_block_problem(
+        layout, prob.topo.coords, asm, masks, prob.params
+    )
+    return layout, asm, masks, bparams, basm, bmasks
+
+
+def test_roundtrip_params(prob, block_problem):
+    layout, _, _, bparams, _, _ = block_problem
+    back = blockform.params_from_block(layout, bparams)
+    np.testing.assert_array_equal(np.asarray(back.sdf), np.asarray(prob.params.sdf))
+    np.testing.assert_array_equal(
+        np.asarray(back.albedo), np.asarray(prob.params.albedo)
+    )
+
+
+def test_cost_and_grad_match(prob, block_problem):
+    layout, asm, _, bparams, basm, _ = block_problem
+
+    def cost_t(p):
+        r = all_residuals(p, asm)
+        return 0.5 * jnp.sum(r * r)
+
+    def cost_b(p):
+        r = blockform.block_all_residuals(p, basm)
+        return 0.5 * jnp.sum(r * r)
+
+    c_t, g_t = jax.value_and_grad(cost_t)(prob.params)
+    c_b, g_b = jax.value_and_grad(cost_b)(bparams)
+    assert np.isfinite(float(c_t)) and float(c_t) > 0.0
+    np.testing.assert_allclose(float(c_b), float(c_t), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(blockform.dense_to_table(layout, g_b.sdf)),
+        np.asarray(g_t.sdf),
+        rtol=2e-4,
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(blockform.dense_to_table(layout, g_b.albedo)),
+        np.asarray(g_t.albedo),
+        rtol=2e-4,
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(np.asarray(g_b.poses), np.asarray(g_t.poses), rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_b.intr), np.asarray(g_t.intr), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(g_b.dist), np.asarray(g_t.dist), rtol=2e-4, atol=1e-6)
+
+
+def test_jacobi_diag_matches(prob, block_problem):
+    layout, asm, _, bparams, basm, _ = block_problem
+    d_t = jtj_diag(prob.params, asm)
+    d_b = blockform.jtj_diag_block(bparams, basm)
+    np.testing.assert_allclose(
+        np.asarray(blockform.dense_to_table(layout, d_b.sdf)),
+        np.asarray(d_t.sdf),
+        rtol=2e-4,
+        atol=1e-8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(blockform.dense_to_table(layout, d_b.albedo)),
+        np.asarray(d_t.albedo),
+        rtol=2e-4,
+        atol=1e-8,
+    )
+    np.testing.assert_allclose(np.asarray(d_b.poses), np.asarray(d_t.poses), rtol=2e-4, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(d_b.intr), np.asarray(d_t.intr), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(d_b.dist), np.asarray(d_t.dist), rtol=2e-4, atol=1e-8)
+    # pad block slots carry zero diagonal (they are auto-fixed by the solver)
+    assert float(jnp.sum(jnp.abs(d_b.sdf[-1]))) == 0.0
+
+
+def test_gn_iteration_equivalent(prob, block_problem):
+    layout, asm, masks, bparams, basm, bmasks = block_problem
+    out_t = gn_iteration(prob.params, asm, masks, jnp.float32(1e-4), lm_steps=3, cg_iters=6)
+    out_b = gn_iteration(bparams, basm, bmasks, jnp.float32(1e-4), lm_steps=3, cg_iters=6)
+    p_t, c0_t, c1_t, _, tries_t = out_t
+    p_b, c0_b, c1_b, _, tries_b = out_b
+    np.testing.assert_allclose(float(c0_b), float(c0_t), rtol=1e-5)
+    np.testing.assert_allclose(float(c1_b), float(c1_t), rtol=1e-3)
+    assert float(c1_b) < float(c0_b)
+    np.testing.assert_allclose(
+        np.asarray(blockform.dense_to_table(layout, p_b.sdf)),
+        np.asarray(p_t.sdf),
+        rtol=5e-3,
+        atol=5e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_b.poses), np.asarray(p_t.poses), rtol=5e-3, atol=5e-6
+    )
