@@ -90,13 +90,17 @@ def catrom_sample_frames(images, fid, x, y):
     elements. Callers must guarantee x∈[1, W−2), y∈[1, H−2) (enforced via
     clipping + validity masks).
 
-    The 16 taps are fetched as ONE (1,4,4)-slice gather per sample point
-    (vmapped `dynamic_slice`): TPU gather cost is per gather *row*, not per
-    element fetched (BENCH_NOTES.md), so a 4×4 patch row costs what a single
-    scalar tap costs — a 16× row reduction over per-tap gathers. The pre-clip
-    keeps every patch fully in bounds, so `dynamic_slice`'s start clamping
-    never fires and the result matches the per-tap formulation exactly."""
+    The 4 support rows are fetched as FULL image rows — `images[fid, yj]` is a
+    single `lax.gather` of [M] contiguous 320..640-element rows, which TPU
+    executes at DMA-row granularity — and the 4-tap column combine becomes an
+    elementwise one-hot contraction over the row. This deliberately over-fetches
+    (row width vs 4 taps) but replaces 16 scattered scalar gathers per sample
+    with 4 row gathers + dense vector math, which profiles far faster on TPU.
+    NOTE: do NOT express the patch fetch as a vmapped `dynamic_slice` — XLA
+    lowers that to a serial per-element while-loop (measured 650 ms/pass vs
+    ~20 ms for this formulation; BENCH_NOTES.md)."""
     h, w = images.shape[1], images.shape[2]
+    scalar = jnp.ndim(x) == 0
     x = jnp.clip(x, 1.0, w - 2.001)
     y = jnp.clip(y, 1.0, h - 2.001)
     x0 = jnp.floor(x).astype(jnp.int32)
@@ -106,23 +110,26 @@ def catrom_sample_frames(images, fid, x, y):
     wxs = _catmull_rom_w(tx)
     wys = _catmull_rom_w(ty)
 
-    def patch_of(f, yy, xx):
-        return jax.lax.dynamic_slice(images, (f, yy - 1, xx - 1), (1, 4, 4))[0]
+    if scalar:
+        acc = 0.0
+        for j in range(4):
+            row = 0.0
+            for i in range(4):
+                row = row + images[fid, y0 + (j - 1), x0 + (i - 1)] * wxs[i]
+            acc = acc + row * wys[j]
+        return acc
 
-    if jnp.ndim(x) == 0:
-        patch = patch_of(fid, y0, x0)  # [4, 4]
-    else:
-        batch = x0.shape
-        patch = jax.vmap(patch_of)(
-            fid.reshape(-1), y0.reshape(-1), x0.reshape(-1)
-        ).reshape(batch + (4, 4))
-
+    # one-hot column weights over the image row: wx at positions x0-1..x0+2
+    cols = jnp.arange(w, dtype=jnp.int32)
+    colw = jnp.zeros(x0.shape + (w,), images.dtype)
+    for i in range(4):
+        colw = colw + jnp.where(
+            cols == (x0 + (i - 1))[..., None], wxs[i][..., None], 0.0
+        )
     acc = 0.0
     for j in range(4):
-        row = 0.0
-        for i in range(4):
-            row = row + patch[..., j, i] * wxs[i]
-        acc = acc + row * wys[j]
+        rows = images[fid, y0 + (j - 1)]  # [M, W] row gather
+        acc = acc + wys[j] * jnp.sum(rows * colw, axis=-1)
     return acc
 
 
