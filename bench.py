@@ -41,6 +41,8 @@ def main():
     import jax.numpy as jnp
 
     from intrinsic3d_tpu.config import RefinementConfig
+    from intrinsic3d_tpu.grid.blocks import BlockLayout
+    from intrinsic3d_tpu.refine.blockform import to_block_problem
     from intrinsic3d_tpu.refine.solver import gn_iteration
     from intrinsic3d_tpu.synthetic import build_sphere_problem
 
@@ -63,10 +65,16 @@ def main():
     asm, masks = prob.assemble()
     n_active = int(np.sum(np.asarray(asm.eg_w) > 0))
 
+    # production layout: flat [nb, 512] block-dense fields + MXU one-hot
+    # stencil shifts (refine/blockform.py)
+    layout = BlockLayout.build(prob.grid)
+    params, asm, masks = to_block_problem(
+        layout, prob.topo.coords, asm, masks, prob.params
+    )
+
     cg_iters = 12
     lm_steps = 8
     mu = jnp.float32(1e-4)
-    params = prob.params
 
     # warmup/compile
     out = gn_iteration(params, asm, masks, mu, lm_steps, cg_iters)

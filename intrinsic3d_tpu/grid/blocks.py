@@ -18,6 +18,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -216,6 +217,138 @@ def shifted27(halo_arr: jnp.ndarray, offset, B: int, lo: int = 1) -> jnp.ndarray
 
 def pad_block(field: jnp.ndarray) -> jnp.ndarray:
     """Append the all-zero pad block: `[nb, B,B,B] → [nb+1, B,B,B]`."""
+    return jnp.concatenate([field, jnp.zeros_like(field[:1])], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Flat [nb, B³] layout with MXU one-hot stencil shifts
+# ---------------------------------------------------------------------------
+#
+# The 4D [nb, B, B, B] layout pads its last dim B=8 to the TPU's 128-lane tile
+# — 16x physical bytes on every halo/shift intermediate (measured: PCG loop
+# 1.2s -> 3.4s, BENCH_NOTES.md). The production layout flattens each block to
+# B³ = 512 lanes (4 exact (8,128) f32 tiles, zero padding waste) and realizes
+# every stencil shift as
+#
+#     shifted_o(f)[n, l] = Σ_c  f[nbr_c[n]] @ T_{o,c}        (one-hot matmuls)
+#
+# where c ranges over the ≤8 block-corner directions offset o can cross,
+# `f[nbr_c]` is a block-row gather along the MAJOR dim (contiguous 2KB rows),
+# and T_{o,c} is a static 0/1 [512, 512] lane-permutation matrix: the MXU does
+# the lane gathering. Each output lane receives exactly one input (or zero),
+# so the matmul is numerically EXACT at any precision. `jax.linear_transpose`
+# of this chain is `cot @ T.T` + block-row scatter-add — equally structured,
+# so the GN matvec inherits the gather-free form automatically.
+
+
+@dataclasses.dataclass
+class ShiftPlan:
+    """Static plan applying a set of stencil offsets to `[nb+1, B³]` fields
+    (trailing all-zero pad row absorbs absent neighbors)."""
+
+    offsets: np.ndarray  # [T, 3]
+    dir_vecs: np.ndarray  # [D, 3] unique block directions used
+    nbr: np.ndarray  # [D, nb] neighbor block row per direction (nb = pad row)
+    term_mats: Tuple  # D × [B³, k_d·B³] jnp.float32 — concatenated one-hots
+    term_offs: Tuple  # D × tuple(offset index per 512-col group)
+    block: int
+
+    def apply(self, field_pad: jnp.ndarray) -> jnp.ndarray:
+        """`[nb+1, B³]` → `[T, nb, B³]` shifted fields (absent neighbors 0)."""
+        s = self.block**3
+        nb = field_pad.shape[0] - 1
+        out = [None] * len(self.offsets)
+        for d in range(len(self.dir_vecs)):
+            if tuple(self.dir_vecs[d]) == (0, 0, 0):
+                rows = field_pad[:-1]
+            else:
+                rows = field_pad[jnp.asarray(self.nbr[d])]
+            prod = jnp.dot(rows, self.term_mats[d], preferred_element_type=jnp.float32)
+            for g, t in enumerate(self.term_offs[d]):
+                sl = prod[:, g * s : (g + 1) * s]
+                out[t] = sl if out[t] is None else out[t] + sl
+        return jnp.stack(out)
+
+    def index(self, offset) -> int:
+        o = np.asarray(offset)
+        hit = np.flatnonzero(np.all(self.offsets == o, axis=-1))
+        if len(hit) != 1:
+            raise KeyError(f"offset {tuple(o)} not in plan")
+        return int(hit[0])
+
+
+def _shift_plan_flatten(p: "ShiftPlan"):
+    children = (p.nbr, p.term_mats)
+    aux = (
+        tuple(map(tuple, np.asarray(p.offsets).tolist())),
+        tuple(map(tuple, np.asarray(p.dir_vecs).tolist())),
+        p.term_offs,
+        p.block,
+    )
+    return children, aux
+
+
+def _shift_plan_unflatten(aux, children):
+    offsets, dir_vecs, term_offs, block = aux
+    nbr, term_mats = children
+    return ShiftPlan(
+        offsets=np.asarray(offsets),
+        dir_vecs=np.asarray(dir_vecs),
+        nbr=nbr,
+        term_mats=term_mats,
+        term_offs=term_offs,
+        block=block,
+    )
+
+
+jax.tree_util.register_pytree_node(
+    ShiftPlan, _shift_plan_flatten, _shift_plan_unflatten
+)
+
+
+def build_shift_plan(layout: BlockLayout, offsets) -> ShiftPlan:
+    """Precompute the one-hot decomposition of `offsets` on `layout`."""
+    B = layout.block
+    s = B**3
+    offsets = np.asarray(offsets, np.int64).reshape(-1, 3)
+    r = np.arange(B)
+    gx, gy, gz = np.meshgrid(r, r, r, indexing="ij")
+    cells = np.stack([gx, gy, gz], -1).reshape(-1, 3)  # [B³,3] flat-order locals
+
+    # group (offset, corner-direction) terms by direction
+    terms = {}  # dir tuple -> list of (offset_idx, mat)
+    for t, o in enumerate(offsets):
+        tgt = cells + o  # [B³,3]
+        c = np.floor_divide(tgt, B)  # corner direction per cell
+        lt = tgt - c * B
+        for cd in np.unique(c, axis=0):
+            m = np.all(c == cd, axis=-1)
+            mat = np.zeros((s, s), np.float32)
+            src = (lt[m, 0] * B + lt[m, 1]) * B + lt[m, 2]
+            dst = (cells[m, 0] * B + cells[m, 1]) * B + cells[m, 2]
+            mat[src, dst] = 1.0
+            terms.setdefault(tuple(cd), []).append((t, mat))
+
+    dir_vecs, nbr_rows, term_mats, term_offs = [], [], [], []
+    for cd, lst in sorted(terms.items()):
+        dir_vecs.append(cd)
+        d_idx = (cd[0] + 1) * 9 + (cd[1] + 1) * 3 + (cd[2] + 1)
+        nbr_rows.append(layout.nbr27[:, d_idx])
+        term_mats.append(jnp.asarray(np.concatenate([m for _, m in lst], axis=1)))
+        term_offs.append(tuple(t for t, _ in lst))
+
+    return ShiftPlan(
+        offsets=offsets,
+        dir_vecs=np.asarray(dir_vecs),
+        nbr=np.asarray(nbr_rows),
+        term_mats=tuple(term_mats),
+        term_offs=tuple(term_offs),
+        block=B,
+    )
+
+
+def pad_flat(field: jnp.ndarray) -> jnp.ndarray:
+    """Append the all-zero pad row: `[nb, B³] → [nb+1, B³]`."""
     return jnp.concatenate([field, jnp.zeros_like(field[:1])], axis=0)
 
 

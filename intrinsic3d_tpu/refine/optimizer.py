@@ -46,18 +46,16 @@ def optimize_level(
     rgbd_level: int,
     mu0: float = 1e-4,
     cg_iters: int = 12,
-    use_blocks: bool = False,
+    use_blocks: bool = True,
 ) -> tuple[Params, float, OptimizeStats]:
     """Run cfg.iterations relinearized GN steps; returns updated params and the
     final damping (for warm-starting the next level, mirroring the reference's
     trust-region warm start).
 
-    `use_blocks` runs the solver on the block-dense layout (refine/blockform.py).
-    Off by default: on real TPU the [nb,8,8,8] layout pads each 8-lane minor dim
-    to the (8,128) tile — 16x physical bytes on every halo/shift intermediate —
-    and profiles 3x slower in the PCG loop than the flat-table path
-    (BENCH_NOTES.md). The flat-table path is the production path until the
-    block layout is re-tiled ([x,y,z,nb] with MXU one-hot halos)."""
+    `use_blocks` runs the solver on the flat block-dense layout
+    (refine/blockform.py): [nb, B³] fields + MXU one-hot stencil shifts,
+    measured 1.8x faster per GN iteration than the flat-table path on TPU v5e
+    (BENCH_NOTES.md). The flat-table path is kept as the equivalence oracle."""
     pyr_scale = pyramid_level_to_scale(rgbd_level)
     h, w = int(depths_level.shape[1]), int(depths_level.shape[2])
     mu = jnp.float32(mu0)
