@@ -69,7 +69,7 @@ def main():
     # stencil shifts (refine/blockform.py)
     layout = BlockLayout.build(prob.grid)
     params, asm, masks = to_block_problem(
-        layout, prob.topo.coords, asm, masks, prob.params
+        layout, prob.topo.coords, asm, masks, prob.params, num_obs=5
     )
 
     cg_iters = 12

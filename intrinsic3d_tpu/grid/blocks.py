@@ -269,6 +269,30 @@ class ShiftPlan:
                 out[t] = sl if out[t] is None else out[t] + sl
         return jnp.stack(out)
 
+    def apply_transpose(self, cot: jnp.ndarray) -> jnp.ndarray:
+        """Exact adjoint of `apply`: `[T, nb, B³]` cotangents → `[nb+1, B³]`.
+
+        Per direction: contract with the SAME one-hot matrix on its other side
+        (no transposed copy is ever materialized — `dot_general` swaps the
+        contracting dims) and block-row scatter-add along the major dim
+        (injective per direction; absent neighbors land on the pad row)."""
+        s = self.block**3
+        nb = cot.shape[1]
+        out = jnp.zeros((nb + 1, s), cot.dtype)
+        for d in range(len(self.dir_vecs)):
+            pc = jnp.concatenate([cot[t] for t in self.term_offs[d]], axis=-1)
+            rows_ct = jax.lax.dot_general(
+                pc,
+                self.term_mats[d],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if tuple(self.dir_vecs[d]) == (0, 0, 0):
+                out = out.at[:-1].add(rows_ct)
+            else:
+                out = out.at[jnp.asarray(self.nbr[d])].add(rows_ct)
+        return out
+
     def index(self, offset) -> int:
         o = np.asarray(offset)
         hit = np.flatnonzero(np.all(self.offsets == o, axis=-1))

@@ -98,7 +98,7 @@ def optimize_level(
         )
         if use_blocks:
             bparams, basm, bmasks = to_block_problem(
-                layout, topo.coords, asm, masks, params
+                layout, topo.coords, asm, masks, params, num_obs=cfg.num_observations
             )
             bparams, cost0, cost1, mu, tries = gn_iteration(
                 bparams, basm, bmasks, mu, cfg.lm_steps, cg_iters

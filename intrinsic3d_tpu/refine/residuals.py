@@ -147,10 +147,11 @@ def eg_core(sdf10, alb4, pose6, intr4, dist5, sh9, vpos3, fid, images, pyr_scale
     """E_g residual body; every argument batched over elements `[M, ...]`
     except `images` (``shading_cost.h:132-197``). Returns unweighted r [M]."""
     h, w = images.shape[1], images.shape[2]
-    fx = intr4[0] * pyr_scale
-    fy = intr4[1] * pyr_scale
-    cx = intr4[2] * pyr_scale
-    cy = intr4[3] * pyr_scale
+    # `[..., i]` so intrinsics may be shared [4] or per-element [M, 4]
+    fx = intr4[..., 0] * pyr_scale
+    fy = intr4[..., 1] * pyr_scale
+    cx = intr4[..., 2] * pyr_scale
+    cy = intr4[..., 3] * pyr_scale
 
     lums = []
     shadings = []

@@ -181,12 +181,21 @@ def gn_iteration(
 
     Returns (params', cost_before, cost_after, mu', num_tries).
     """
-    r0, jlin = jax.linearize(lambda p: residual_stack(p, asm), params)
-    jt = jax.linear_transpose(jlin, params)
-    cost0 = 0.5 * jnp.sum(r0 * r0)
-
-    grad = jt(r0)[0]
-    diag = diag_of(params, asm)
+    if isinstance(asm, blockform.BlockAssembly):
+        # hand-rolled linearization: ONE reverse pass for the E_g element
+        # Jacobian, dense (obs, slot) coefficient fields, and a matvec that is
+        # pure dense math + one-hot matmuls (see blockform.BlockLin)
+        cost0, lin = blockform.linearize_block(params, asm)
+        jlin = lambda v: blockform.jv_block(lin, asm, v)  # noqa: E731
+        jt = lambda y: (blockform.jtv_block(lin, asm, y),)  # noqa: E731
+        grad = jt((lin.r0_g, lin.r0_r, lin.r0_s, lin.r0_a))[0]
+        diag = blockform.diag_from_lin(lin, asm)
+    else:
+        r0, jlin = jax.linearize(lambda p: residual_stack(p, asm), params)
+        jt = jax.linear_transpose(jlin, params)
+        cost0 = 0.5 * jnp.sum(r0 * r0)
+        grad = jt(r0)[0]
+        diag = diag_of(params, asm)
     # auto-fix parameters that appear in no residual (zero Jacobian column);
     # convert to Params so tree_maps see one pytree type
     masks = Params(*(m * (d > 0.0) for m, d in zip(masks, diag)))

@@ -119,3 +119,54 @@ def test_gn_iteration_equivalent(prob, block_problem):
     np.testing.assert_allclose(
         np.asarray(p_b.poses), np.asarray(p_t.poses), rtol=5e-3, atol=5e-6
     )
+
+
+def test_handrolled_linearization(prob, block_problem):
+    """jv/jtv must be an exact adjoint pair and match jax.linearize of the
+    block residual stack; diag_from_lin must equal the autodiff Jacobi diag."""
+    layout, asm, masks, bparams, basm, bmasks = block_problem
+    cost0, lin = blockform.linearize_block(bparams, basm)
+
+    # cost at the linearization point == forward stack norm
+    r_stack = blockform.block_all_residuals(bparams, basm)
+    np.testing.assert_allclose(
+        float(cost0), float(0.5 * jnp.sum(r_stack * r_stack)), rtol=1e-5
+    )
+
+    rng = np.random.default_rng(0)
+    v = bparams._replace(
+        sdf=jnp.asarray(rng.normal(size=bparams.sdf.shape).astype(np.float32)),
+        albedo=jnp.asarray(rng.normal(size=bparams.albedo.shape).astype(np.float32)),
+        poses=jnp.asarray(rng.normal(size=bparams.poses.shape).astype(np.float32)),
+        intr=jnp.asarray(rng.normal(size=(4,)).astype(np.float32)),
+        dist=jnp.asarray(rng.normal(size=(5,)).astype(np.float32)),
+    )
+    y = blockform.jv_block(lin, basm, v)
+    cot = tuple(jnp.asarray(rng.normal(size=t.shape).astype(np.float32)) for t in y)
+    g = blockform.jtv_block(lin, basm, cot)
+    lhs = sum(float(jnp.vdot(a, b)) for a, b in zip(y, cot))
+    rhs = sum(float(jnp.vdot(a, b)) for a, b in zip(v, g))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-3)
+
+    # against autodiff of the block residual stack
+    _, jlin = jax.linearize(lambda p: blockform.block_all_residuals(p, basm), bparams)
+    r_t = np.asarray(jlin(v))
+    # hand-rolled tangent, re-assembled in the same element order as the stack
+    y_g, y_r, y_s, y_a = y
+    m = basm.eg_w.shape[0]
+    got_eg = np.asarray(y_g).reshape(-1)[np.asarray(basm.eg_dense_idx)]
+    got_eg = np.where(np.asarray(basm.eg_w) > 0, got_eg, 0.0)
+    want_eg = np.where(np.asarray(basm.eg_w) > 0, r_t[:m], 0.0)
+    np.testing.assert_allclose(got_eg, want_eg, rtol=2e-3, atol=2e-4)
+
+    d_lin = blockform.diag_from_lin(lin, basm)
+    d_ad = blockform.jtj_diag_block(bparams, basm)
+    np.testing.assert_allclose(
+        np.asarray(d_lin.sdf), np.asarray(d_ad.sdf), rtol=2e-3, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_lin.albedo), np.asarray(d_ad.albedo), rtol=2e-3, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_lin.poses), np.asarray(d_ad.poses), rtol=2e-3, atol=1e-7
+    )
