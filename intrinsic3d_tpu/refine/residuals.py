@@ -27,6 +27,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from intrinsic3d_tpu.grid.ops import compute_normal_from_sdf4
 from intrinsic3d_tpu.lighting.sh import sh_basis
@@ -90,16 +91,18 @@ def catrom_sample_frames(images, fid, x, y):
     elements. Callers must guarantee x∈[1, W−2), y∈[1, H−2) (enforced via
     clipping + validity masks).
 
-    The 4 support rows are fetched as FULL image rows — `images[fid, yj]` is a
-    single `lax.gather` of [M] contiguous 320..640-element rows, which TPU
-    executes at DMA-row granularity — and the 4-tap column combine becomes an
-    elementwise one-hot contraction over the row. This deliberately over-fetches
-    (row width vs 4 taps) but replaces 16 scattered scalar gathers per sample
-    with 4 row gathers + dense vector math, which profiles far faster on TPU.
+    Batched elements sample with ZERO gathers: the 4-row selection is a
+    weighted one-hot matmul `[chunk, K·H] @ [K·H, W]` against the flattened
+    image stack (the MXU does the row gathering; the one-hot is built
+    in-register from iota compares), and the 4-tap column combine is an
+    in-register one-hot contraction over the resulting row. Chunked with
+    `lax.map` to bound the one-hot intermediate. Measured ~3x faster per
+    linearization than 16 full-row `lax.gather`s per element (71M gather
+    rows/s ceiling), and ~30x faster than per-element scalar taps.
     NOTE: do NOT express the patch fetch as a vmapped `dynamic_slice` — XLA
-    lowers that to a serial per-element while-loop (measured 650 ms/pass vs
-    ~20 ms for this formulation; BENCH_NOTES.md)."""
-    h, w = images.shape[1], images.shape[2]
+    lowers that to a serial per-element while-loop (measured 650 ms/pass;
+    BENCH_NOTES.md)."""
+    k, h, w = images.shape
     scalar = jnp.ndim(x) == 0
     x = jnp.clip(x, 1.0, w - 2.001)
     y = jnp.clip(y, 1.0, h - 2.001)
@@ -119,18 +122,55 @@ def catrom_sample_frames(images, fid, x, y):
             acc = acc + row * wys[j]
         return acc
 
-    # one-hot column weights over the image row: wx at positions x0-1..x0+2
-    cols = jnp.arange(w, dtype=jnp.int32)
-    colw = jnp.zeros(x0.shape + (w,), images.dtype)
-    for i in range(4):
-        colw = colw + jnp.where(
-            cols == (x0 + (i - 1))[..., None], wxs[i][..., None], 0.0
-        )
-    acc = 0.0
-    for j in range(4):
-        rows = images[fid, y0 + (j - 1)]  # [M, W] row gather
-        acc = acc + wys[j] * jnp.sum(rows * colw, axis=-1)
-    return acc
+    shape = x0.shape
+    m = int(np.prod(shape))
+    imgflat = images.reshape(k * h, w)
+    row0 = (fid.reshape(-1) * h + y0.reshape(-1) - 1).astype(jnp.int32)  # [M]
+    wy = jnp.stack([wj.reshape(-1) for wj in wys], axis=-1)  # [M, 4]
+    col0 = (x0.reshape(-1) - 1).astype(jnp.int32)
+    wx = jnp.stack([wi.reshape(-1) for wi in wxs], axis=-1)  # [M, 4]
+
+    chunk = min(8192, m)
+    nchunks = -(-m // chunk)
+    pad = nchunks * chunk - m
+    if pad:
+        row0 = jnp.pad(row0, (0, pad))
+        wy = jnp.pad(wy, ((0, pad), (0, 0)))
+        col0 = jnp.pad(col0, (0, pad))
+        wx = jnp.pad(wx, ((0, pad), (0, 0)))
+
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, k * h), 1)
+    cols_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, w), 1)
+
+    def one_chunk(args):
+        r0, wyc, c0, wxc = args
+        sel = jnp.zeros((chunk, k * h), imgflat.dtype)
+        for j in range(4):
+            sel = sel + jnp.where(rows_iota == (r0 + j)[:, None], wyc[:, j : j + 1], 0.0)
+        # HIGH (bf16_3x): the residual is a DIFFERENCE of nearby samples, so
+        # single-pass-bf16 luminance error (~1e-3) is material relative to the
+        # gradient magnitudes; bf16_3x restores ~f32 quality at 3x DEFAULT cost
+        a = jnp.dot(
+            sel,
+            imgflat,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGH,
+        )  # [chunk, W]
+        colw = jnp.zeros((chunk, w), imgflat.dtype)
+        for i in range(4):
+            colw = colw + jnp.where(cols_iota == (c0 + i)[:, None], wxc[:, i : i + 1], 0.0)
+        return jnp.sum(a * colw, axis=-1)
+
+    out = jax.lax.map(
+        one_chunk,
+        (
+            row0.reshape(nchunks, chunk),
+            wy.reshape(nchunks, chunk, 4),
+            col0.reshape(nchunks, chunk),
+            wx.reshape(nchunks, chunk, 4),
+        ),
+    ).reshape(-1)[:m]
+    return out.reshape(shape)
 
 
 # stencil index mapping: positions of the 4 normal stencils inside the

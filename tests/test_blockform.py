@@ -157,7 +157,7 @@ def test_handrolled_linearization(prob, block_problem):
     got_eg = np.asarray(y_g).reshape(-1)[np.asarray(basm.eg_dense_idx)]
     got_eg = np.where(np.asarray(basm.eg_w) > 0, got_eg, 0.0)
     want_eg = np.where(np.asarray(basm.eg_w) > 0, r_t[:m], 0.0)
-    np.testing.assert_allclose(got_eg, want_eg, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(got_eg, want_eg, rtol=2e-3, atol=1e-3)
 
     d_lin = blockform.diag_from_lin(lin, basm)
     d_ad = blockform.jtj_diag_block(bparams, basm)
