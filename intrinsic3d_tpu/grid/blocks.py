@@ -49,14 +49,38 @@ class BlockLayout:
         return self.block + self.lo + self.hi
 
     @classmethod
-    def build(cls, grid: VoxelGrid, block: int = 8, lo: int = 1, hi: int = 2) -> "BlockLayout":
+    def build(
+        cls,
+        grid: VoxelGrid,
+        block: int = 8,
+        lo: int = 1,
+        hi: int = 2,
+        blocks_multiple: int = 8,
+    ) -> "BlockLayout":
         """Partition the grid's voxels into blocks and precompute the halo
-        gather plan (margins sized for the E_g stencil: −1 … +2)."""
+        gather plan (margins sized for the E_g stencil: −1 … +2).
+
+        `blocks_multiple` pads the block count with empty, mutually
+        non-adjacent blocks beyond the grid's corner so the block axis shards
+        evenly over a device mesh (parallel/sharding.py)."""
         B = block
         coords = grid.coords.astype(np.int64)
         bc = np.floor_divide(coords, B)
         bkeys = pack_coords(bc)
-        ukeys, binv = np.unique(bkeys, return_inverse=True)
+        ukeys = np.unique(bkeys)
+        need = (-len(ukeys)) % max(blocks_multiple, 1)
+        if need:
+            mx = bc.max(axis=0)
+            pads = np.stack(
+                [
+                    mx[0] + 2 + 2 * np.arange(need),
+                    np.full(need, mx[1] + 2),
+                    np.full(need, mx[2] + 2),
+                ],
+                axis=-1,
+            )
+            ukeys = np.sort(np.concatenate([ukeys, pack_coords(pads)]))
+        binv = np.searchsorted(ukeys, bkeys)
         nb = len(ukeys)
         from intrinsic3d_tpu.grid.voxel_grid import unpack_keys
 

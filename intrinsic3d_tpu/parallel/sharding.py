@@ -103,3 +103,56 @@ def shard_problem(
     """Placement for one multi-chip GN iteration: replicated parameters/masks,
     element-sharded assembly."""
     return replicate(params, mesh), shard_assembly(asm, mesh), replicate(masks, mesh)
+
+
+# ---------------------------------------------------------------------------
+# Block-dense (production) layout
+# ---------------------------------------------------------------------------
+
+
+def shard_block_problem(bparams, basm, bmasks, mesh: Mesh, axis: str = "data"):
+    """Placement for the flat block-dense problem (refine/blockform.py):
+
+    - E_g element arrays shard along M; the dense (obs, slot) coefficient
+      buffer and the pose one-hot shard along their slot axis;
+    - the dense per-slot weight/anchor fields shard along the block axis
+      (uneven shards are fine under GSPMD);
+    - parameters, masks, shift-plan tables and one-hot matrices replicate —
+      the apply/apply_transpose matmuls then run on local block rows and the
+      transposed scatter-adds produce partials that XLA psums over ``axis``.
+
+    Spatial block sharding with halo RDMA (each device owning a contiguous
+    brick of blocks) is the planned refinement once parameter arrays outgrow
+    replication; this placement already exercises the full multi-chip
+    lowering of the production solver."""
+    from intrinsic3d_tpu.refine.blockform import BlockAssembly
+
+    row = NamedSharding(mesh, P(axis))
+    row1 = NamedSharding(mesh, P(None, axis))
+    mid = NamedSharding(mesh, P(None, axis, None))
+    rep = NamedSharding(mesh, P())
+
+    def put(x, sh):
+        return jax.device_put(x, sh)
+
+    basm_s = basm._replace(
+        eg_slot=put(basm.eg_slot, row),
+        eg_frame=put(basm.eg_frame, row),
+        eg_onehot=put(basm.eg_onehot, row),
+        eg_w=put(basm.eg_w, row),
+        eg_sh=put(basm.eg_sh, row),
+        eg_vpos=put(basm.eg_vpos, row),
+        eg_dense_idx=put(basm.eg_dense_idx, row),
+        pose_onehot_d=put(basm.pose_onehot_d, row1),
+        sdf_plan=jax.tree_util.tree_map(lambda x: put(x, rep), basm.sdf_plan),
+        alb_plan=jax.tree_util.tree_map(lambda x: put(x, rep), basm.alb_plan),
+        er_w=put(basm.er_w, row),
+        es_ref=put(basm.es_ref, row),
+        es_w=put(basm.es_w, row),
+        ea_w=put(basm.ea_w, mid),
+        lam=put(basm.lam, rep),
+        images=put(basm.images, rep),
+        pyr_scale=put(basm.pyr_scale, rep),
+        voxel_size=put(basm.voxel_size, rep),
+    )
+    return replicate(bparams, mesh), basm_s, replicate(bmasks, mesh)
