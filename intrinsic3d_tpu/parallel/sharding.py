@@ -113,10 +113,8 @@ def shard_problem(
 def shard_block_problem(bparams, basm, bmasks, mesh: Mesh, axis: str = "data"):
     """Placement for the flat block-dense problem (refine/blockform.py):
 
-    - E_g element arrays shard along M; the dense (obs, slot) coefficient
-      buffer and the pose one-hot shard along their slot axis;
-    - the dense per-slot weight/anchor fields shard along the block axis
-      (uneven shards are fine under GSPMD);
+    - the dense (obs, slot) E_g element fields shard along their slot axis;
+    - the dense per-slot weight/anchor fields shard along the block axis;
     - parameters, masks, shift-plan tables and one-hot matrices replicate —
       the apply/apply_transpose matmuls then run on local block rows and the
       transposed scatter-adds produce partials that XLA psums over ``axis``.
@@ -136,14 +134,10 @@ def shard_block_problem(bparams, basm, bmasks, mesh: Mesh, axis: str = "data"):
         return jax.device_put(x, sh)
 
     basm_s = basm._replace(
-        eg_slot=put(basm.eg_slot, row),
-        eg_frame=put(basm.eg_frame, row),
-        eg_onehot=put(basm.eg_onehot, row),
-        eg_w=put(basm.eg_w, row),
-        eg_sh=put(basm.eg_sh, row),
-        eg_vpos=put(basm.eg_vpos, row),
-        eg_dense_idx=put(basm.eg_dense_idx, row),
-        pose_onehot_d=put(basm.pose_onehot_d, row1),
+        eg_w=put(basm.eg_w, row1),
+        eg_frame=put(basm.eg_frame, row1),
+        eg_sh=put(basm.eg_sh, row1),
+        eg_vpos=put(basm.eg_vpos, row1),
         sdf_plan=jax.tree_util.tree_map(lambda x: put(x, rep), basm.sdf_plan),
         alb_plan=jax.tree_util.tree_map(lambda x: put(x, rep), basm.alb_plan),
         er_w=put(basm.er_w, row),

@@ -1,0 +1,271 @@
+"""Device-resident per-iteration problem assembly (block-dense layout).
+
+`assembly.build_assembly` mirrors the reference's host-side
+``Optimizer::addVoxelResiduals`` (``optimizer.cpp:176-282``) with numpy +
+eager device calls; on hardware with a remote device link every eager
+dispatch and every device→host pull costs a round trip — measured ≈4s per
+outer iteration against a 0.3s solve (BENCH_NOTES.md). This module builds the
+ENTIRE per-iteration problem as ONE jitted function over the dense block
+layout (SURVEY §7.3: active-set logic "without host round-trips in the inner
+loop"):
+
+- normals, shell/ring/stencil gates, iso-projection, observation collection
+  (projective visibility + `lax.top_k`), the creation-time validity probe
+  (``shading_cost.cpp:136-147``), the ×1000 per-type weight normalization
+  (``nls_solver.cpp:379-394``), and the free-parameter masks
+  (``optimizer.cpp:285-361``) are all computed densely over block slots —
+  stencil access via `ShiftPlan` one-hot matmuls, zero gathers except the
+  per-frame depth lookups of the visibility test;
+- the only host work per outer iteration is the jit call itself; per-level
+  statics (occupancy, fused-SDF anchor, SH fields, albedo-pair chromaticity)
+  are prepared once by `build_level_static`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from intrinsic3d_tpu.camera import Camera
+from intrinsic3d_tpu.grid.blocks import BlockLayout, pad_flat
+from intrinsic3d_tpu.grid.voxel_grid import VoxelGrid
+from intrinsic3d_tpu.observations import compute_observation
+from intrinsic3d_tpu.refine.assembly import LevelTopology, chroma_weights
+from intrinsic3d_tpu.refine.blockform import (
+    BlockAssembly,
+    _PLUS,
+    _RING6,
+    _eg_dense,
+    _stencil_dense,
+    layout_plans,
+    table_to_dense,
+)
+from intrinsic3d_tpu.refine.residuals import Params
+from intrinsic3d_tpu.refine.solver import Masks
+
+
+class LevelStatic(NamedTuple):
+    """Per-(grid,pyramid)-level constants for the device assembly."""
+
+    occ: jnp.ndarray  # [nb+1, S] 1.0 where the slot holds a table voxel
+    valid: jnp.ndarray  # [nb+1, S] 1.0 where fusion weight > 0
+    vpos: jnp.ndarray  # [3, nb·S] int32 voxel coords (0 on empty slots)
+    es_ref: jnp.ndarray  # [nb, S] fused sdf anchor
+    eg_sh: jnp.ndarray  # [9, nb·S] per-voxel SH coefficients
+    ea_chroma: jnp.ndarray  # [3, nb, S] static chromaticity pair weights
+
+
+def build_level_static(
+    layout: BlockLayout,
+    grid: VoxelGrid,
+    topo: LevelTopology,
+    voxel_sh: np.ndarray,
+) -> LevelStatic:
+    """Host-side, once per level: scatter the static table fields to dense."""
+    s = layout.block**3
+    nb = layout.num_blocks
+    d = nb * s
+
+    def densify(vals, dtype=np.float32):
+        out = np.zeros(d, dtype)
+        out[layout.vox_slot] = np.asarray(vals, dtype)
+        return out
+
+    occ = np.zeros(d, np.float32)
+    occ[layout.vox_slot] = 1.0
+    valid = densify(grid.valid_mask().astype(np.float32))
+    vpos = np.zeros((3, d), np.int32)
+    vpos[:, layout.vox_slot] = topo.coords.astype(np.int32).T
+    eg_sh = np.zeros((9, d), np.float32)
+    eg_sh[:, layout.vox_slot] = np.asarray(voxel_sh, np.float32).T
+
+    # albedo pair chromaticity, keyed at the lower-coordinate endpoint of each
+    # +axis pair (``albedo_regularizer.cpp:60-72``)
+    pairs = np.asarray(topo.ea_pairs)
+    cw = chroma_weights(grid.color, pairs)
+    delta = topo.coords[pairs[:, 1]].astype(np.int64) - topo.coords[pairs[:, 0]].astype(np.int64)
+    slots_i = layout.vox_slot[pairs[:, 0]]
+    slots_j = layout.vox_slot[pairs[:, 1]]
+    ea_chroma = np.zeros((3, d), np.float32)
+    for dd in range(3):
+        e = np.zeros(3, np.int64)
+        e[dd] = 1
+        fwd = np.all(delta == e, axis=-1)
+        bwd = np.all(delta == -e, axis=-1)
+        ea_chroma[dd, slots_i[fwd]] = cw[fwd]
+        ea_chroma[dd, slots_j[bwd]] = cw[bwd]
+
+    return LevelStatic(
+        occ=pad_flat(jnp.asarray(occ.reshape(nb, s))),
+        valid=pad_flat(jnp.asarray(valid.reshape(nb, s))),
+        vpos=jnp.asarray(vpos),
+        es_ref=jnp.asarray(densify(grid.sdf).reshape(nb, s)),
+        eg_sh=jnp.asarray(eg_sh),
+        ea_chroma=jnp.asarray(ea_chroma.reshape(3, nb, s)),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_obs", "width", "height", "fix_poses", "fix_intrinsics", "fix_distortion", "use_albedo"),
+)
+def device_assembly(
+    st: LevelStatic,
+    sdf_plan,
+    alb_plan,
+    params: Params,  # block-dense Params ([nb+1, S] voxel fields)
+    depths: jnp.ndarray,  # [K, H, W]
+    images: jnp.ndarray,  # [K, H, W] intensity
+    pyr_scale: jnp.ndarray,
+    voxel_size: jnp.ndarray,
+    truncation: jnp.ndarray,
+    thres_shell: jnp.ndarray,
+    occlusion_distance: jnp.ndarray,
+    lambdas: jnp.ndarray,  # [4] raw (λ_g, λ_r, λ_s, λ_a) before normalization
+    num_obs: int,
+    width: int,
+    height: int,
+    fix_poses: bool = False,
+    fix_intrinsics: bool = False,
+    fix_distortion: bool = False,
+    use_albedo: bool = True,
+) -> Tuple[BlockAssembly, Masks]:
+    """One fully-jitted relinearization assembly (zero host round trips)."""
+    nb = st.es_ref.shape[0]
+    s = st.es_ref.shape[1]
+    d = nb * s
+
+    sh = sdf_plan.apply(params.sdf)  # [13, nb, S]
+    vs = sdf_plan.apply(st.valid)
+    oc = sdf_plan.apply(st.occ)
+    c = sdf_plan.index((0, 0, 0))
+    ex = sdf_plan.index((1, 0, 0))
+    ey = sdf_plan.index((0, 1, 0))
+    ez = sdf_plan.index((0, 0, 1))
+
+    # --- normals + gates (``operators.cpp:58-77``, ``optimizer.cpp:185-199``)
+    nb_valid = vs[c] * vs[ex] * vs[ey] * vs[ez]
+    n = jnp.stack([sh[ex] - sh[c], sh[ey] - sh[c], sh[ez] - sh[c]], axis=-1)
+    norm = jnp.sqrt(jnp.sum(n * n, axis=-1, keepdims=True))
+    nonzero = norm[..., 0] > 0.0
+    normals = jnp.where(
+        (nonzero & (nb_valid > 0.0))[..., None],
+        n / jnp.where(norm == 0.0, 1.0, norm),
+        0.0,
+    )
+    normal_ok = (nb_valid > 0.0) & nonzero
+
+    sdfr = sh[c]
+    in_shell = (st.valid[:-1] > 0.0) & (jnp.abs(sdfr) <= thres_shell)
+    gate = in_shell & normal_ok
+
+    stencil_ok = jnp.ones((nb, s), bool)
+    for j in range(10):
+        stencil_ok = stencil_ok & (oc[j] > 0.0)
+    ring_ok = jnp.ones((nb, s), bool)
+    for off in _RING6:
+        ring_ok = ring_ok & (vs[sdf_plan.index(off)] > 0.0)
+
+    # --- observations with current poses (``colorization.cpp:192-315``) -----
+    cam = Camera(
+        fx=params.intr[0] * pyr_scale,
+        fy=params.intr[1] * pyr_scale,
+        cx=params.intr[2] * pyr_scale,
+        cy=params.intr[3] * pyr_scale,
+        width=width,
+        height=height,
+        dist=params.dist,
+    )
+    pts = st.vpos.T.astype(jnp.float32) * voxel_size  # [D, 3]
+    nflat = normals.reshape(d, 3)
+    iso = pts - nflat * sdfr.reshape(d)[:, None]
+
+    def one_frame(args):
+        pose6, depth = args
+        w, _ = compute_observation(cam, pose6, depth, iso, nflat, occlusion_distance)
+        return w
+
+    weights = jax.lax.map(one_frame, (params.poses, depths))  # [K, D]
+    k = min(num_obs, weights.shape[0])
+    obs_w, obs_f = jax.lax.top_k(weights.T, k)  # [D, k]
+
+    w_sdf = jnp.clip(
+        1.0 - jnp.minimum(jnp.abs(sdfr), truncation) / truncation, 0.01, 1.0
+    ).reshape(d)
+    eg_gate = (gate & stencil_ok).reshape(d)
+    eg_w = jnp.where(eg_gate[:, None], obs_w * w_sdf[:, None], 0.0).T  # [O, D]
+    eg_frame = obs_f.T.astype(jnp.int32)  # [O, D]
+
+    # --- E_r / E_s / E_a weights --------------------------------------------
+    er_w = jnp.where(gate & ring_ok, 1.0, 0.0) * jnp.where(lambdas[1] > 0.0, 1.0, 0.0)
+    es_w = jnp.where(gate, 1.0, 0.0) * jnp.where(lambdas[2] > 0.0, 1.0, 0.0)
+    av = jnp.where(gate & ring_ok, 1.0, 0.0)
+    av_sh = sdf_plan.apply(pad_flat(av))
+    ea_w = jnp.stack(
+        [
+            st.ea_chroma[dd]
+            * jnp.maximum(av, av_sh[sdf_plan.index(e)])
+            for dd, e in enumerate(_PLUS)
+        ]
+    ) * jnp.where(lambdas[3] > 0.0, 1.0, 0.0)
+
+    # --- assembly with the creation-time validity probe ---------------------
+    asm = BlockAssembly(
+        eg_w=eg_w,
+        eg_frame=eg_frame,
+        eg_sh=st.eg_sh,
+        eg_vpos=st.vpos,
+        sdf_plan=sdf_plan,
+        alb_plan=alb_plan,
+        er_w=er_w,
+        es_ref=st.es_ref,
+        es_w=es_w,
+        ea_w=ea_w,
+        lam=jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32),
+        images=images,
+        pyr_scale=pyr_scale,
+        voxel_size=voxel_size,
+    )
+    sha = alb_plan.apply(params.albedo)
+    o = eg_w.shape[0]
+    # validity-only probe: `r != 0` is a pure geometry predicate (see
+    # eg_core), so the probe skips the image sampler entirely
+    valid_probe = _eg_dense(
+        (params.poses, params.intr, params.dist),
+        _stencil_dense(sh, 10, o),
+        _stencil_dense(sha, 4, o),
+        asm._replace(eg_w=jnp.ones_like(eg_w)),
+        validity_only=True,
+    )
+    eg_w = jnp.where(valid_probe != 0.0, eg_w, 0.0)
+
+    # per-type weight normalization ×1000 (``nls_solver.cpp:379-394``)
+    def norm_lam(lmbda, wsum):
+        ok = (wsum > 0.0) & (lmbda > 0.0)
+        return jnp.where(ok, lmbda / jnp.where(ok, wsum, 1.0) * 1000.0, 0.0)
+
+    lam = jnp.stack(
+        [
+            norm_lam(lambdas[0], jnp.sum(eg_w)),
+            norm_lam(lambdas[1], jnp.sum(er_w)),
+            norm_lam(lambdas[2], jnp.sum(es_w)),
+            norm_lam(lambdas[3], jnp.sum(ea_w)),
+        ]
+    )
+    asm = asm._replace(eg_w=eg_w, lam=lam)
+
+    # --- free-parameter masks (``optimizer.cpp:285-361``) --------------------
+    free_vox = jnp.where(in_shell & ring_ok, 1.0, 0.0)
+    free_pad = pad_flat(free_vox)
+    masks = Masks(
+        sdf=free_pad,
+        albedo=free_pad if use_albedo else jnp.zeros_like(free_pad),
+        poses=jnp.full((params.poses.shape[0], 6), 0.0 if fix_poses else 1.0),
+        intr=jnp.full((4,), 0.0 if fix_intrinsics else 1.0),
+        dist=jnp.full((5,), 0.0 if fix_distortion else 1.0),
+    )
+    return asm, masks

@@ -19,7 +19,12 @@ from intrinsic3d_tpu.grid.voxel_grid import VoxelGrid
 from intrinsic3d_tpu.mathutil import compute_varying_lambda, pyramid_level_to_scale
 from intrinsic3d_tpu.grid.blocks import BlockLayout
 from intrinsic3d_tpu.refine.assembly import LevelTopology, build_assembly
-from intrinsic3d_tpu.refine.blockform import params_from_block, to_block_problem
+from intrinsic3d_tpu.refine.blockform import (
+    layout_plans,
+    params_from_block,
+    table_to_dense,
+)
+from intrinsic3d_tpu.refine.device_assembly import build_level_static, device_assembly
 from intrinsic3d_tpu.refine.residuals import Params
 from intrinsic3d_tpu.refine.solver import gn_iteration
 
@@ -52,59 +57,86 @@ def optimize_level(
     final damping (for warm-starting the next level, mirroring the reference's
     trust-region warm start).
 
-    `use_blocks` runs the solver on the flat block-dense layout
-    (refine/blockform.py): [nb, B³] fields + MXU one-hot stencil shifts,
-    measured 1.8x faster per GN iteration than the flat-table path on TPU v5e
-    (BENCH_NOTES.md). The flat-table path is kept as the equivalence oracle."""
+    `use_blocks` runs the production path: the flat block-dense layout
+    ([nb, B³] fields + MXU one-hot stencil shifts, refine/blockform.py) with
+    the FULLY device-resident per-iteration assembly
+    (refine/device_assembly.py) — the outer loop does no host work beyond the
+    two jit calls and the logging pulls. The flat-table path (host assembly +
+    jax.linearize solver) is kept as the equivalence oracle."""
     pyr_scale = pyramid_level_to_scale(rgbd_level)
     h, w = int(depths_level.shape[1]), int(depths_level.shape[2])
     mu = jnp.float32(mu0)
     stats = OptimizeStats([], [], [])
-    layout = BlockLayout.build(grid) if use_blocks else None
+
+    if use_blocks:
+        layout = BlockLayout.build(grid)
+        st = build_level_static(layout, grid, topo, voxel_sh)
+        sdf_plan, alb_plan = layout_plans(layout)
+        bparams = params._replace(
+            sdf=table_to_dense(layout, params.sdf),
+            albedo=table_to_dense(layout, params.albedo),
+        )
 
     for itr in range(cfg.iterations):
         lambda_r = compute_varying_lambda(itr, cfg.iterations, cfg.lambda_r0, cfg.lambda_r1)
         lambda_s = compute_varying_lambda(itr, cfg.iterations, cfg.lambda_s0, cfg.lambda_s1)
 
-        intr = np.asarray(params.intr)
-        cam_level = Camera.create(
-            intr[0] * pyr_scale,
-            intr[1] * pyr_scale,
-            intr[2] * pyr_scale,
-            intr[3] * pyr_scale,
-            w,
-            h,
-            dist=params.dist,
-        )
-        asm, masks = build_assembly(
-            grid,
-            topo,
-            params,
-            cam_level,
-            depths_level,
-            images_level,
-            voxel_sh,
-            thres_shell,
-            cfg.occlusion_distance,
-            cfg.num_observations,
-            cfg.lambda_g,
-            lambda_r,
-            lambda_s,
-            cfg.lambda_a,
-            pyr_scale,
-            cfg.fix_poses,
-            cfg.fix_intrinsics,
-            cfg.fix_distortion,
-        )
         if use_blocks:
-            bparams, basm, bmasks = to_block_problem(
-                layout, topo.coords, asm, masks, params, num_obs=cfg.num_observations
+            basm, bmasks = device_assembly(
+                st,
+                sdf_plan,
+                alb_plan,
+                bparams,
+                depths_level,
+                images_level,
+                jnp.float32(pyr_scale),
+                jnp.float32(grid.voxel_size),
+                jnp.float32(grid.truncation),
+                jnp.float32(thres_shell),
+                jnp.float32(cfg.occlusion_distance),
+                jnp.asarray([cfg.lambda_g, lambda_r, lambda_s, cfg.lambda_a], jnp.float32),
+                num_obs=cfg.num_observations,
+                width=w,
+                height=h,
+                fix_poses=cfg.fix_poses,
+                fix_intrinsics=cfg.fix_intrinsics,
+                fix_distortion=cfg.fix_distortion,
+                use_albedo=cfg.lambda_a >= 0.0,
             )
             bparams, cost0, cost1, mu, tries = gn_iteration(
                 bparams, basm, bmasks, mu, cfg.lm_steps, cg_iters
             )
-            params = params_from_block(layout, bparams)
         else:
+            intr = np.asarray(params.intr)
+            cam_level = Camera.create(
+                intr[0] * pyr_scale,
+                intr[1] * pyr_scale,
+                intr[2] * pyr_scale,
+                intr[3] * pyr_scale,
+                w,
+                h,
+                dist=params.dist,
+            )
+            asm, masks = build_assembly(
+                grid,
+                topo,
+                params,
+                cam_level,
+                depths_level,
+                images_level,
+                voxel_sh,
+                thres_shell,
+                cfg.occlusion_distance,
+                cfg.num_observations,
+                cfg.lambda_g,
+                lambda_r,
+                lambda_s,
+                cfg.lambda_a,
+                pyr_scale,
+                cfg.fix_poses,
+                cfg.fix_intrinsics,
+                cfg.fix_distortion,
+            )
             params, cost0, cost1, mu, tries = gn_iteration(
                 params, asm, masks, mu, cfg.lm_steps, cg_iters
             )
@@ -119,4 +151,7 @@ def optimize_level(
             int(tries),
             float(mu),
         )
+
+    if use_blocks:
+        params = params_from_block(layout, bparams)
     return params, float(mu), stats

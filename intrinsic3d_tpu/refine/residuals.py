@@ -142,6 +142,10 @@ def catrom_sample_frames(images, fid, x, y):
     rows_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, k * h), 1)
     cols_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, w), 1)
 
+    # checkpointed: the [chunk, K·H] one-hots are cheap to rebuild from the
+    # per-chunk indices — never keep them as vjp residuals (a full-problem
+    # linearization would otherwise store [nchunks, chunk, K·H] ≈ tens of GB)
+    @jax.checkpoint
     def one_chunk(args):
         r0, wyc, c0, wxc = args
         sel = jnp.zeros((chunk, k * h), imgflat.dtype)
@@ -183,9 +187,15 @@ _N4 = ((0, 6, 1, 4), (6, 9, 7, 8), (1, 7, 2, 3), (4, 8, 3, 5))
 _POINT_OFFSETS = ((0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1))
 
 
-def eg_core(sdf10, alb4, pose6, intr4, dist5, sh9, vpos3, fid, images, pyr_scale, voxel_size):
+def eg_core(sdf10, alb4, pose6, intr4, dist5, sh9, vpos3, fid, images, pyr_scale, voxel_size, validity_only=False):
     """E_g residual body; every argument batched over elements `[M, ...]`
-    except `images` (``shading_cost.h:132-197``). Returns unweighted r [M]."""
+    except `images` (``shading_cost.h:132-197``). Returns unweighted r [M].
+
+    `validity_only=True` skips the image sampling and shading entirely and
+    returns 1.0/0.0 validity — exactly the `r != 0` predicate of the full
+    evaluation (r = √(‖d‖²+1e-12) ≥ 1e-6 whenever valid), used by the
+    creation-time residual probe (``shading_cost.cpp:136-147``) without
+    paying for a sampler pass."""
     h, w = images.shape[1], images.shape[2]
     # `[..., i]` so intrinsics may be shared [4] or per-element [M, 4]
     fx = intr4[..., 0] * pyr_scale
@@ -220,9 +230,12 @@ def eg_core(sdf10, alb4, pose6, intr4, dist5, sh9, vpos3, fid, images, pyr_scale
         v = fy * yd + cy
         # bicubic support needs u∈[1, W−2), v∈[1, H−2)
         valid = valid & z_ok & (u >= 1.0) & (u < w - 2) & (v >= 1.0) & (v < h - 2)
-        lums.append(catrom_sample_frames(images, fid, u, v))
-        shadings.append(alb4[..., k] * jnp.sum(sh9 * sh_basis(n), axis=-1))
+        if not validity_only:
+            lums.append(catrom_sample_frames(images, fid, u, v))
+            shadings.append(alb4[..., k] * jnp.sum(sh9 * sh_basis(n), axis=-1))
 
+    if validity_only:
+        return jnp.where(valid, 1.0, 0.0)
     lum4 = jnp.stack(lums, axis=-1)
     sh4 = jnp.stack(shadings, axis=-1)
     d = (sh4[..., 1:] - sh4[..., :1]) - (lum4[..., 1:] - lum4[..., :1])

@@ -49,7 +49,9 @@ def residual_stack(params: "Params", asm) -> jnp.ndarray:
 
 def diag_of(params: "Params", asm) -> "Params":
     if isinstance(asm, blockform.BlockAssembly):
-        return blockform.jtj_diag_block(params, asm)
+        # the block path derives the diagonal from its explicit linearization
+        _, lin = blockform.linearize_block(params, asm)
+        return blockform.diag_from_lin(lin, asm)
     return jtj_diag(params, asm)
 
 

@@ -81,22 +81,23 @@ def test_cost_and_grad_match(prob, block_problem):
 def test_jacobi_diag_matches(prob, block_problem):
     layout, asm, _, bparams, basm, _ = block_problem
     d_t = jtj_diag(prob.params, asm)
-    d_b = blockform.jtj_diag_block(bparams, basm)
+    _, lin = blockform.linearize_block(bparams, basm)
+    d_b = blockform.diag_from_lin(lin, basm)
     np.testing.assert_allclose(
         np.asarray(blockform.dense_to_table(layout, d_b.sdf)),
         np.asarray(d_t.sdf),
-        rtol=2e-4,
-        atol=1e-8,
+        rtol=2e-3,
+        atol=1e-7,
     )
     np.testing.assert_allclose(
         np.asarray(blockform.dense_to_table(layout, d_b.albedo)),
         np.asarray(d_t.albedo),
-        rtol=2e-4,
-        atol=1e-8,
+        rtol=2e-3,
+        atol=1e-7,
     )
-    np.testing.assert_allclose(np.asarray(d_b.poses), np.asarray(d_t.poses), rtol=2e-4, atol=1e-8)
-    np.testing.assert_allclose(np.asarray(d_b.intr), np.asarray(d_t.intr), rtol=2e-4)
-    np.testing.assert_allclose(np.asarray(d_b.dist), np.asarray(d_t.dist), rtol=2e-4, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(d_b.poses), np.asarray(d_t.poses), rtol=2e-3, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(d_b.intr), np.asarray(d_t.intr), rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(d_b.dist), np.asarray(d_t.dist), rtol=2e-3, atol=1e-7)
     # pad block slots carry zero diagonal (they are auto-fixed by the solver)
     assert float(jnp.sum(jnp.abs(d_b.sdf[-1]))) == 0.0
 
@@ -148,25 +149,13 @@ def test_handrolled_linearization(prob, block_problem):
     rhs = sum(float(jnp.vdot(a, b)) for a, b in zip(v, g))
     np.testing.assert_allclose(lhs, rhs, rtol=1e-3)
 
-    # against autodiff of the block residual stack
+    # against autodiff of the block residual stack (E_g segment is dense
+    # (obs, slot)-ordered, same as y_g)
     _, jlin = jax.linearize(lambda p: blockform.block_all_residuals(p, basm), bparams)
     r_t = np.asarray(jlin(v))
-    # hand-rolled tangent, re-assembled in the same element order as the stack
     y_g, y_r, y_s, y_a = y
-    m = basm.eg_w.shape[0]
-    got_eg = np.asarray(y_g).reshape(-1)[np.asarray(basm.eg_dense_idx)]
-    got_eg = np.where(np.asarray(basm.eg_w) > 0, got_eg, 0.0)
-    want_eg = np.where(np.asarray(basm.eg_w) > 0, r_t[:m], 0.0)
+    m = int(np.prod(basm.eg_w.shape))
+    act = np.asarray(basm.eg_w).reshape(-1) > 0
+    got_eg = np.where(act, np.asarray(y_g).reshape(-1), 0.0)
+    want_eg = np.where(act, r_t[:m], 0.0)
     np.testing.assert_allclose(got_eg, want_eg, rtol=2e-3, atol=1e-3)
-
-    d_lin = blockform.diag_from_lin(lin, basm)
-    d_ad = blockform.jtj_diag_block(bparams, basm)
-    np.testing.assert_allclose(
-        np.asarray(d_lin.sdf), np.asarray(d_ad.sdf), rtol=2e-3, atol=1e-7
-    )
-    np.testing.assert_allclose(
-        np.asarray(d_lin.albedo), np.asarray(d_ad.albedo), rtol=2e-3, atol=1e-7
-    )
-    np.testing.assert_allclose(
-        np.asarray(d_lin.poses), np.asarray(d_ad.poses), rtol=2e-3, atol=1e-7
-    )
