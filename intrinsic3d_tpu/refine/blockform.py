@@ -85,7 +85,7 @@ def _frame_onehot(eg_frame: jnp.ndarray, k: int) -> jnp.ndarray:
     return (flat == ids).astype(jnp.float32)
 
 
-def _eg_dense(params_pose_intr_dist, sdf10, alb4, asm: BlockAssembly, validity_only=False):
+def _eg_dense(params_pose_intr_dist, sdf10, alb4, asm: BlockAssembly, validity_only=False, masked=False):
     """Dense E_g forward: all arguments per (obs, slot) element."""
     poses, intr, dist = params_pose_intr_dist
     k = poses.shape[0]
@@ -107,6 +107,7 @@ def _eg_dense(params_pose_intr_dist, sdf10, alb4, asm: BlockAssembly, validity_o
         asm.pyr_scale,
         asm.voxel_size,
         validity_only=validity_only,
+        active=(asm.eg_w > 0).astype(jnp.float32) if masked else None,
     )
     return jnp.sqrt(asm.eg_w * asm.lam[0]) * r  # [O, D]
 
@@ -118,11 +119,14 @@ def _stencil_dense(sh: jnp.ndarray, t: int, o: int) -> jnp.ndarray:
     return jnp.broadcast_to(stack[None], (o, d, t))
 
 
-def block_all_residuals(params: Params, asm: BlockAssembly) -> jnp.ndarray:
+def block_all_residuals(params: Params, asm: BlockAssembly, masked: bool = True) -> jnp.ndarray:
     """Concatenated weighted residual vector — identical energy to
     `residuals.all_residuals` on the equivalent table assembly (rows appear
     in dense (obs, slot) order with zero rows for inactive elements; the
-    total cost, the gradient, and JᵀJ are unchanged)."""
+    total cost, the gradient, and JᵀJ are unchanged).
+
+    `masked=True` routes the image sampling through the Pallas masked kernel
+    (reverse-mode only); pass False on paths that `jax.linearize`/jvp."""
     o = asm.eg_w.shape[0]
     sh = asm.sdf_plan.apply(params.sdf)  # [13, nb, B³]
     sha = asm.alb_plan.apply(params.albedo)  # [7, nb, B³]
@@ -132,6 +136,7 @@ def block_all_residuals(params: Params, asm: BlockAssembly) -> jnp.ndarray:
         _stencil_dense(sh, 10, o),
         _stencil_dense(sha, 4, o),
         asm,
+        masked=masked,
     ).reshape(-1)
 
     # --- E_r: dense Laplacian (gather-free) ---------------------------------
@@ -228,6 +233,7 @@ def linearize_block(params: Params, asm: BlockAssembly) -> Tuple[jnp.ndarray, Bl
             asm.images,
             asm.pyr_scale,
             asm.voxel_size,
+            active=(asm.eg_w > 0).astype(jnp.float32),
         )
 
     # elements are independent, so ONE reverse pass with a ones cotangent

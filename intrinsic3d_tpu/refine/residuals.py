@@ -86,7 +86,7 @@ def _catmull_rom_w(t):
     )
 
 
-def catrom_sample_frames(images, fid, x, y):
+def catrom_sample_frames(images, fid, x, y, active=None):
     """Catmull-Rom bicubic sample of `images[fid]` at (x, y), batched over
     elements. Callers must guarantee x∈[1, W−2), y∈[1, H−2) (enforced via
     clipping + validity masks).
@@ -101,7 +101,13 @@ def catrom_sample_frames(images, fid, x, y):
     rows/s ceiling), and ~30x faster than per-element scalar taps.
     NOTE: do NOT express the patch fetch as a vmapped `dynamic_slice` — XLA
     lowers that to a serial per-element while-loop (measured 650 ms/pass;
-    BENCH_NOTES.md)."""
+    BENCH_NOTES.md).
+
+    `active` (same batch shape as x/y, 0 = inactive) opts into the Pallas
+    masked kernel (ops/pallas/bicubic.py): whole inactive chunks are skipped
+    on the MXU and the backward pass is two analytic dots instead of a
+    checkpoint replay. Reverse-mode only — leave `active=None` on paths that
+    need `jax.linearize`/jvp."""
     k, h, w = images.shape
     scalar = jnp.ndim(x) == 0
     x = jnp.clip(x, 1.0, w - 2.001)
@@ -124,6 +130,17 @@ def catrom_sample_frames(images, fid, x, y):
 
     shape = x0.shape
     m = int(np.prod(shape))
+    if active is not None and k * h <= 4096 and m >= 1024:
+        from intrinsic3d_tpu.ops.pallas.bicubic import bicubic_sample
+
+        out = bicubic_sample(
+            images,
+            fid.reshape(-1).astype(jnp.int32),
+            x.reshape(-1),
+            y.reshape(-1),
+            active.reshape(-1).astype(jnp.float32),
+        )
+        return out.reshape(shape)
     imgflat = images.reshape(k * h, w)
     row0 = (fid.reshape(-1) * h + y0.reshape(-1) - 1).astype(jnp.int32)  # [M]
     wy = jnp.stack([wj.reshape(-1) for wj in wys], axis=-1)  # [M, 4]
@@ -187,7 +204,7 @@ _N4 = ((0, 6, 1, 4), (6, 9, 7, 8), (1, 7, 2, 3), (4, 8, 3, 5))
 _POINT_OFFSETS = ((0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1))
 
 
-def eg_core(sdf10, alb4, pose6, intr4, dist5, sh9, vpos3, fid, images, pyr_scale, voxel_size, validity_only=False):
+def eg_core(sdf10, alb4, pose6, intr4, dist5, sh9, vpos3, fid, images, pyr_scale, voxel_size, validity_only=False, active=None):
     """E_g residual body; every argument batched over elements `[M, ...]`
     except `images` (``shading_cost.h:132-197``). Returns unweighted r [M].
 
@@ -231,7 +248,7 @@ def eg_core(sdf10, alb4, pose6, intr4, dist5, sh9, vpos3, fid, images, pyr_scale
         # bicubic support needs u∈[1, W−2), v∈[1, H−2)
         valid = valid & z_ok & (u >= 1.0) & (u < w - 2) & (v >= 1.0) & (v < h - 2)
         if not validity_only:
-            lums.append(catrom_sample_frames(images, fid, u, v))
+            lums.append(catrom_sample_frames(images, fid, u, v, active=active))
             shadings.append(alb4[..., k] * jnp.sum(sh9 * sh_basis(n), axis=-1))
 
     if validity_only:
