@@ -2,20 +2,27 @@
 
 The batched bicubic sampler (the per-element image taps of the E_g shading
 cost, ``cost.h:108-127``) is MXU-flop-bound in its XLA one-hot form: every
-(obs, slot) element pays a `[chunk, K·H] @ [K·H, W]` row-select matmul even
-though only ~10-15% of dense elements are active (BENCH_NOTES.md). This
-kernel keeps the one-hot-matmul formulation (the MXU does the row gathering;
-a gather would run at ~71M rows/s) and adds what XLA cannot express:
+dense element pays a `[chunk, K·H] @ [K·H, W]` row-select matmul even
+though only ~10-15% of dense elements are active (BENCH_NOTES.md). The
+kernels here keep the one-hot-matmul formulation (the MXU does the row
+gathering; a gather would run at ~71M rows/s) and add what XLA cannot
+express:
 
-- **chunk skipping** — a per-chunk any-active scalar (scalar-prefetch style
+- **chunk skipping** — a per-chunk any-active scalar (scalar-prefetch
   input in SMEM) predicates the whole body with `@pl.when`; skipped chunks
   write zeros and spend no MXU cycles;
 - **an analytic 2-dot backward** (custom_vjp): d/dx and d/dy re-use the same
   one-hot structure with derivative weights — no checkpoint replay and no
-  saved `[nchunks, chunk, K·H]` residuals (73 GB OOM in the naive vjp).
+  saved `[nchunks, chunk, K·H]` residuals (73 GB OOM in the naive vjp);
+- **per-chunk row windows** (`bicubic_sample_rows`, the production path for
+  the frame-major block layout): the scalar-prefetch array also carries a
+  window block index that the image BlockSpec index maps consume, so each
+  chunk DMAs only a 3×128-row window of the HBM image stack — the row-select
+  dots shrink from `[chunk, K·H]` to three `[chunk, 128]` segments (~5x
+  fewer MACs at K·H=1920) and the stack never needs to fit in VMEM.
 
-The image stack stays resident in VMEM across the grid (a few MB for
-keyframe batches; callers fall back to the XLA sampler when K·H is large).
+`bicubic_sample` (full-width, VMEM-resident stack) remains for callers whose
+fid patterns are not chunk-uniform; it requires K·H small enough for VMEM.
 """
 
 from __future__ import annotations
@@ -239,3 +246,251 @@ def _fwd_rule(images, fid, x, y, active):
 
 
 bicubic_sample.defvjp(_fwd_rule, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Row-windowed variant: frame-uniform chunks + per-chunk image window
+# ---------------------------------------------------------------------------
+#
+# When every CHUNK of elements samples a SINGLE keyframe (the frame-major
+# block layout, refine/blockform.py), the row one-hot only needs the rows a
+# chunk can actually touch: a 3×128-row window of the flattened image stack,
+# selected per chunk by a scalar-prefetch-driven BlockSpec index map (Pallas
+# DMAs the window from HBM and skips the fetch when consecutive chunks share
+# it). This cuts the dominant `[chunk, K·H] @ [K·H, W]` row-select dots to
+# `[chunk, 128] @ [128, W]` segments — the images never need to fit in VMEM,
+# so there is no K·H ceiling — and images taller than one window are handled
+# by statically-unrolled extra passes over the not-yet-covered elements
+# (zero-cost when unused: their chunks are all skipped).
+#
+# CONTRACT: within each CHUNK-aligned run of elements all `fid` values must
+# be equal (callers pad the slot axis of `[K, D]` element arrays to a CHUNK
+# multiple). Violations are NOT detected: elements beyond the pass budget
+# silently produce 0.
+
+WB = 128  # window block rows (one BlockSpec block)
+NSEG = 3  # window blocks per pass
+WIN = WB * NSEG
+
+
+def _win_specs(w: int):
+    row_i = pl.BlockSpec((1, 1, CHUNK), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    def wspec(j):
+        return pl.BlockSpec((WB, w), lambda i, meta, j=j: (meta[1, i] + j, 0))
+
+    img_specs = [wspec(j) for j in range(NSEG)]
+    out = pl.BlockSpec((1, 1, CHUNK), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
+    return row_i, img_specs, out
+
+
+def _win_row_mix(whs, wls, rloc, wy4):
+    """Σ_j wy4[j]·window_row[rloc+j] over NSEG stacked window blocks."""
+    acc = None
+    for s in range(NSEG):
+        local = rloc - s * WB
+        sel = _onehot_rows(local, wy4, WB)
+        s_hi, s_lo = _split_bf16(sel)
+
+        def dot(a, b):
+            return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+        part = dot(s_hi, whs[s][:]) + dot(s_hi, wls[s][:]) + dot(s_lo, whs[s][:])
+        acc = part if acc is None else acc + part
+    return acc
+
+
+def _win_fwd_kernel(meta_ref, rloc_ref, ty_ref, c0_ref, tx_ref, *refs):
+    (w0h, w1h, w2h, w0l, w1l, w2l, out_ref) = refs
+
+    @pl.when(meta_ref[0, pl.program_id(0)] > 0)
+    def _():
+        rloc = rloc_ref[0, 0, :]
+        inw = ((rloc >= 0) & (rloc <= WIN - 4)).astype(jnp.float32)
+        wy = tuple(w * inw for w in _catrom_w(ty_ref[0, 0, :]))
+        a = _win_row_mix((w0h, w1h, w2h), (w0l, w1l, w2l), rloc, wy)
+        colw = _onehot_rows(c0_ref[0, 0, :], _catrom_w(tx_ref[0, 0, :]), w0h.shape[1])
+        out_ref[0, 0, :] = jnp.sum(a * colw, axis=-1)
+
+    @pl.when(meta_ref[0, pl.program_id(0)] == 0)
+    def _():
+        out_ref[0, 0, :] = jnp.zeros_like(out_ref[0, 0, :])
+
+
+def _win_bwd_kernel(meta_ref, rloc_ref, ty_ref, c0_ref, tx_ref, g_ref, *refs):
+    (w0h, w1h, w2h, w0l, w1l, w2l, dx_ref, dy_ref) = refs
+
+    @pl.when(meta_ref[0, pl.program_id(0)] > 0)
+    def _():
+        rloc = rloc_ref[0, 0, :]
+        ty = ty_ref[0, 0, :]
+        tx = tx_ref[0, 0, :]
+        g = g_ref[0, 0, :]
+        w = w0h.shape[1]
+        inw = ((rloc >= 0) & (rloc <= WIN - 4)).astype(jnp.float32)
+        whs = (w0h, w1h, w2h)
+        wls = (w0l, w1l, w2l)
+        wy = tuple(v * inw for v in _catrom_w(ty))
+        dwy = tuple(v * inw for v in _catrom_dw(ty))
+        a_dy = _win_row_mix(whs, wls, rloc, dwy)
+        colw = _onehot_rows(c0_ref[0, 0, :], _catrom_w(tx), w)
+        dy_ref[0, 0, :] = g * jnp.sum(a_dy * colw, axis=-1)
+        a = _win_row_mix(whs, wls, rloc, wy)
+        dcolw = _onehot_rows(c0_ref[0, 0, :], _catrom_dw(tx), w)
+        dx_ref[0, 0, :] = g * jnp.sum(a * dcolw, axis=-1)
+
+    @pl.when(meta_ref[0, pl.program_id(0)] == 0)
+    def _():
+        dx_ref[0, 0, :] = jnp.zeros_like(dx_ref[0, 0, :])
+        dy_ref[0, 0, :] = jnp.zeros_like(dy_ref[0, 0, :])
+
+
+def _num_passes(h: int) -> int:
+    # each pass covers ≥ WIN − WB + 1 rows past the remaining minimum (worst
+    # WB-alignment), and a frame-uniform chunk spans ≤ h + 2 rows
+    return max(1, -(-(h + 4) // (WIN - WB)))
+
+
+def _win_prep(images, fid, x, y, active):
+    """Shared fwd/bwd prep: pad the image stack to WB-multiple rows (bf16
+    hi/lo split) and chunk the per-element sample data."""
+    k, h, w = images.shape
+    xc = jnp.clip(x, 1.0, w - 2.001)
+    yc = jnp.clip(y, 1.0, h - 2.001)
+    x0 = jnp.floor(xc).astype(jnp.int32)
+    y0 = jnp.floor(yc).astype(jnp.int32)
+    tx = xc - x0
+    ty = yc - y0
+    r0 = fid * h + y0 - 1
+    c0 = x0 - 1
+
+    m = x.shape[0]
+    nchunks = -(-m // CHUNK)
+    pad = nchunks * CHUNK - m
+
+    def padded(a, fill=0):
+        return jnp.pad(a, (0, pad), constant_values=fill) if pad else a
+
+    def chunked(a):
+        return a.reshape(nchunks, 1, CHUNK)
+
+    khpad = max(-(-(k * h) // WB) * WB, NSEG * WB)
+    imgflat = images.reshape(k * h, w)
+    if khpad > k * h:
+        imgflat = jnp.pad(imgflat, ((0, khpad - k * h), (0, 0)))
+    img_hi, img_lo = _split_bf16(imgflat)
+
+    act = padded(active if active is not None else jnp.ones(m, jnp.float32))
+    r0 = padded(r0)
+    return (
+        img_hi,
+        img_lo,
+        khpad,
+        act > 0.0,
+        r0,
+        chunked(ty.astype(jnp.float32)),
+        chunked(c0),
+        chunked(tx.astype(jnp.float32)),
+        nchunks,
+        m,
+        h,
+        w,
+    )
+
+
+def _pass_meta(r0, remaining, nchunks, khpad):
+    """Per-pass scalar-prefetch meta: chunk activity + window block index."""
+    r0c = r0.reshape(nchunks, CHUNK)
+    remc = remaining.reshape(nchunks, CHUNK)
+    rmin = jnp.min(jnp.where(remc, r0c, khpad), axis=1)
+    wb = jnp.clip(rmin // WB, 0, khpad // WB - NSEG)
+    anyrem = jnp.any(remc, axis=1)
+    meta = jnp.stack([anyrem.astype(jnp.int32), wb.astype(jnp.int32)])
+    rloc = r0 - jnp.repeat(wb * WB, CHUNK)
+    in_win = (rloc >= 0) & (rloc <= WIN - 4)
+    return meta, rloc.reshape(nchunks, 1, CHUNK), in_win
+
+
+@jax.custom_vjp
+def bicubic_sample_rows(images, fid, x, y, active):
+    """Masked bicubic sampling for FRAME-UNIFORM chunks (see module note):
+    `images [K,H,W]`, flat `fid/x/y/active [M]` where every CHUNK-aligned run
+    shares one fid. Images stream from HBM per-window — no K·H ceiling."""
+    out, _ = _rows_fwd(images, fid, x, y, active)
+    return out
+
+
+def _rows_fwd(images, fid, x, y, active):
+    img_hi, img_lo, khpad, act, r0, ty, c0, tx, nchunks, m, h, w = _win_prep(
+        images, fid, x, y, active
+    )
+    row_i, img_specs, out_s = _win_specs(w)
+    out = jnp.zeros(nchunks * CHUNK, jnp.float32)
+    remaining = act
+    for _ in range(_num_passes(h)):
+        meta, rloc, in_win = _pass_meta(r0, remaining, nchunks, khpad)
+        pout = pl.pallas_call(
+            _win_fwd_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(nchunks,),
+                in_specs=[row_i, row_i, row_i, row_i] + img_specs * 2,
+                out_specs=out_s,
+            ),
+            out_shape=jax.ShapeDtypeStruct((nchunks, 1, CHUNK), jnp.float32),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=_interpret(),
+        )(meta, rloc, ty, c0, tx, img_hi, img_hi, img_hi, img_lo, img_lo, img_lo)
+        hit = remaining & in_win
+        out = jnp.where(hit, pout.reshape(-1), out)
+        remaining = remaining & ~in_win
+    return out[:m], (images, fid, x, y, active)
+
+
+def _rows_bwd(res, g):
+    images, fid, x, y, active = res
+    img_hi, img_lo, khpad, act, r0, ty, c0, tx, nchunks, m, h, w = _win_prep(
+        images, fid, x, y, active
+    )
+    row_i, img_specs, out_s = _win_specs(w)
+    gc = (jnp.pad(g, (0, nchunks * CHUNK - m)) if nchunks * CHUNK > m else g).reshape(
+        nchunks, 1, CHUNK
+    )
+    dx = jnp.zeros(nchunks * CHUNK, jnp.float32)
+    dy = jnp.zeros(nchunks * CHUNK, jnp.float32)
+    remaining = act
+    for _ in range(_num_passes(h)):
+        meta, rloc, in_win = _pass_meta(r0, remaining, nchunks, khpad)
+        pdx, pdy = pl.pallas_call(
+            _win_bwd_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(nchunks,),
+                in_specs=[row_i, row_i, row_i, row_i, row_i] + img_specs * 2,
+                out_specs=(out_s, out_s),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((nchunks, 1, CHUNK), jnp.float32),
+                jax.ShapeDtypeStruct((nchunks, 1, CHUNK), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=_interpret(),
+        )(meta, rloc, ty, c0, tx, gc, img_hi, img_hi, img_hi, img_lo, img_lo, img_lo)
+        hit = remaining & in_win
+        dx = jnp.where(hit, pdx.reshape(-1), dx)
+        dy = jnp.where(hit, pdy.reshape(-1), dy)
+        remaining = remaining & ~in_win
+    dx = dx[:m]
+    dy = dy[:m]
+    in_x = (x >= 1.0) & (x < w - 2.001)
+    in_y = (y >= 1.0) & (y < h - 2.001)
+    dx = jnp.where(in_x, dx, 0.0)
+    dy = jnp.where(in_y, dy, 0.0)
+    return (None, None, dx, dy, None)
+
+
+def _rows_fwd_rule(images, fid, x, y, active):
+    return _rows_fwd(images, fid, x, y, active)
+
+
+bicubic_sample_rows.defvjp(_rows_fwd_rule, _rows_bwd)

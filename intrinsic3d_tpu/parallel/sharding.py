@@ -113,7 +113,7 @@ def shard_problem(
 def shard_block_problem(bparams, basm, bmasks, mesh: Mesh, axis: str = "data"):
     """Placement for the flat block-dense problem (refine/blockform.py):
 
-    - the dense (obs, slot) E_g element fields shard along their slot axis;
+    - the dense frame-major (keyframe, slot) E_g element fields shard along their slot axis;
     - the dense per-slot weight/anchor fields shard along the block axis;
     - parameters, masks, shift-plan tables and one-hot matrices replicate —
       the apply/apply_transpose matmuls then run on local block rows and the
@@ -135,7 +135,6 @@ def shard_block_problem(bparams, basm, bmasks, mesh: Mesh, axis: str = "data"):
 
     basm_s = basm._replace(
         eg_w=put(basm.eg_w, row1),
-        eg_frame=put(basm.eg_frame, row1),
         eg_sh=put(basm.eg_sh, row1),
         eg_vpos=put(basm.eg_vpos, row1),
         sdf_plan=jax.tree_util.tree_map(lambda x: put(x, rep), basm.sdf_plan),

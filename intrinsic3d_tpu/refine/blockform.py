@@ -18,11 +18,17 @@ GN iteration (BENCH_NOTES.md). This module re-lays the problem out the TPU way
   6-neighborhood pair (v, v+e_d) is visited exactly once, preserving the
   reference's `voxels_added` dedup, ``optimizer.cpp:268-274``);
 - **E_g** (``shading_cost.h:132-197``) is evaluated DENSELY over
-  (observation-slot o, block-slot s) elements `[O, nb·B³]` — inactive
-  elements carry weight 0. No element compaction, no gathers, no scatters:
-  the per-element stencil values are the shifted stacks broadcast over o, the
-  frame one-hot is built in-register, and the exact per-element Jacobian
-  falls out of ONE batched `jax.vjp` already in dense layout. The entire
+  FRAME-MAJOR (keyframe k, block-slot s) elements `[K, nb·B³]` — element
+  (k, s) is the observation of voxel s by keyframe k, weight 0 where frame k
+  is not among the voxel's top-N observations. No element compaction, no
+  gathers, no scatters: the per-element stencil values are the shifted
+  stacks broadcast over k, the frame index is the ROW INDEX (so the pose
+  "gather" is a plain broadcast of `poses[k]` and its transpose a per-row
+  sum — no one-hot contraction at all), and the exact per-element Jacobian
+  falls out of ONE batched `jax.vjp` already in dense layout. Frame-major
+  rows also make every 512-element sampler chunk single-frame, which is what
+  lets the Pallas bicubic kernel fetch a narrow row WINDOW of the image
+  stack instead of all K·H rows (ops/pallas/bicubic.py). The entire
   relinearize→solve→accept cycle touches no dynamic shapes and no host.
 
 The solver (`refine/solver.py::gn_iteration`) dispatches on the assembly
@@ -56,10 +62,10 @@ _RING6 = _PLUS + ((-1, 0, 0), (0, -1, 0), (0, 0, -1))
 class BlockAssembly(NamedTuple):
     """Static per-outer-iteration problem data in flat block-dense layout.
 
-    E_g elements are dense over (obs-slot, block-slot): `[O, nb·B³]`."""
+    E_g elements are dense FRAME-MAJOR over (keyframe, block-slot):
+    `[K, nb·B³]` — the keyframe index of an element IS its row index."""
 
-    eg_w: jnp.ndarray  # [O, D] observation·shell weight (0 = inactive)
-    eg_frame: jnp.ndarray  # [O, D] int32 keyframe index (0 where inactive)
+    eg_w: jnp.ndarray  # [K, D] observation·shell weight (0 = inactive)
     eg_sh: jnp.ndarray  # [9, D] per-voxel interpolated SH coefficients
     eg_vpos: jnp.ndarray  # [3, D] int32 voxel coords (0 on empty slots)
     # stencil shift plans (one-hot matmul decompositions)
@@ -77,52 +83,46 @@ class BlockAssembly(NamedTuple):
     voxel_size: jnp.ndarray
 
 
-def _frame_onehot(eg_frame: jnp.ndarray, k: int) -> jnp.ndarray:
-    """In-register frame one-hot `[O·D, K]` (fused iota compare — no storage
-    beyond the matmul operand; the MXU does the frame gathering)."""
-    flat = eg_frame.reshape(-1, 1)
-    ids = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
-    return (flat == ids).astype(jnp.float32)
+def _fid_rows(k: int, d: int) -> jnp.ndarray:
+    """Per-element keyframe index of the frame-major layout: the row index."""
+    return jax.lax.broadcasted_iota(jnp.int32, (k, d), 0)
 
 
 def _eg_dense(params_pose_intr_dist, sdf10, alb4, asm: BlockAssembly, validity_only=False, masked=False):
-    """Dense E_g forward: all arguments per (obs, slot) element."""
+    """Dense E_g forward: all arguments per (keyframe, slot) element."""
     poses, intr, dist = params_pose_intr_dist
-    k = poses.shape[0]
-    o, d = asm.eg_w.shape
-    oh = _frame_onehot(asm.eg_frame, k)  # [O·D, K]
-    pose6 = jnp.dot(
-        oh, poses, precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32
-    ).reshape(o, d, 6)
+    k, d = asm.eg_w.shape
+    pose6 = jnp.broadcast_to(poses[:, None, :], (k, d, 6))
     r = eg_core(
         sdf10,
         alb4,
         pose6,
         intr,
         dist,
-        jnp.broadcast_to(asm.eg_sh.T[None], (o, d, 9)),
-        jnp.broadcast_to(asm.eg_vpos.T[None], (o, d, 3)),
-        asm.eg_frame,
+        jnp.broadcast_to(asm.eg_sh.T[None], (k, d, 9)),
+        jnp.broadcast_to(asm.eg_vpos.T[None], (k, d, 3)),
+        _fid_rows(k, d),
         asm.images,
         asm.pyr_scale,
         asm.voxel_size,
         validity_only=validity_only,
         active=(asm.eg_w > 0).astype(jnp.float32) if masked else None,
+        frame_major=masked,
     )
-    return jnp.sqrt(asm.eg_w * asm.lam[0]) * r  # [O, D]
+    return jnp.sqrt(asm.eg_w * asm.lam[0]) * r  # [K, D]
 
 
-def _stencil_dense(sh: jnp.ndarray, t: int, o: int) -> jnp.ndarray:
-    """`[T', nb, B³]` shifted stack → broadcast per-element rows [O, D, t]."""
+def _stencil_dense(sh: jnp.ndarray, t: int, k: int) -> jnp.ndarray:
+    """`[T', nb, B³]` shifted stack → broadcast per-element rows [K, D, t]."""
     d = sh.shape[1] * sh.shape[2]
     stack = jnp.moveaxis(sh[:t].reshape(t, d), 0, -1)  # [D, t]
-    return jnp.broadcast_to(stack[None], (o, d, t))
+    return jnp.broadcast_to(stack[None], (k, d, t))
 
 
 def block_all_residuals(params: Params, asm: BlockAssembly, masked: bool = True) -> jnp.ndarray:
     """Concatenated weighted residual vector — identical energy to
     `residuals.all_residuals` on the equivalent table assembly (rows appear
-    in dense (obs, slot) order with zero rows for inactive elements; the
+    in dense (keyframe, slot) order with zero rows for inactive elements; the
     total cost, the gradient, and JᵀJ are unchanged).
 
     `masked=True` routes the image sampling through the Pallas masked kernel
@@ -168,7 +168,7 @@ def block_all_residuals(params: Params, asm: BlockAssembly, masked: bool = True)
 # PCG loop and re-derives per-matvec gathers/scatters. Instead: ONE batched
 # reverse pass (elements are independent, so a ones-cotangent `jax.vjp` wrt
 # the per-element argument arrays IS the exact per-element Jacobian) produces
-# the coefficient fields directly in dense (obs, slot) layout; the matvec,
+# the coefficient fields directly in dense (keyframe, slot) layout; the matvec,
 # its transpose, the gradient, and the exact Jacobi diagonal are then pure
 # dense elementwise math + ShiftPlan one-hot matmuls + an in-register frame
 # one-hot matmul — zero gathers, zero scatters, no element-shaped loop state.
@@ -177,12 +177,12 @@ def block_all_residuals(params: Params, asm: BlockAssembly, masked: bool = True)
 class BlockLin(NamedTuple):
     """Linearization of the block problem at a point (static through PCG)."""
 
-    a_sdf: jnp.ndarray  # [10, O, D]
-    a_alb: jnp.ndarray  # [4, O, D]
-    a_pose: jnp.ndarray  # [6, O, D]
-    a_intr: jnp.ndarray  # [4, O, D]
-    a_dist: jnp.ndarray  # [5, O, D]
-    r0_g: jnp.ndarray  # [O, D] weighted E_g residual
+    a_sdf: jnp.ndarray  # [10, K, D]
+    a_alb: jnp.ndarray  # [4, K, D]
+    a_pose: jnp.ndarray  # [6, K, D]
+    a_intr: jnp.ndarray  # [4, K, D]
+    a_dist: jnp.ndarray  # [5, K, D]
+    r0_g: jnp.ndarray  # [K, D] weighted E_g residual
     r0_r: jnp.ndarray  # [nb, B³]
     r0_s: jnp.ndarray  # [nb, B³]
     r0_a: jnp.ndarray  # [3, nb, B³]
@@ -211,11 +211,7 @@ def linearize_block(params: Params, asm: BlockAssembly) -> Tuple[jnp.ndarray, Bl
     # --- E_g: value + exact per-element Jacobian in one reverse pass --------
     sdf10 = _stencil_dense(sh, 10, o) + 0.0  # materialize as vjp inputs
     alb4 = _stencil_dense(sha, 4, o) + 0.0
-    k = params.poses.shape[0]
-    oh = _frame_onehot(asm.eg_frame, k)
-    pose6 = jnp.dot(
-        oh, params.poses, precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32
-    ).reshape(o, d, 6)
+    pose6 = jnp.broadcast_to(params.poses[:, None, :], (o, d, 6)) + 0.0
     intr_e = jnp.broadcast_to(params.intr, (o, d, 4))
     dist_e = jnp.broadcast_to(params.dist, (o, d, 5))
     sqrt_wlam = jnp.sqrt(asm.eg_w * asm.lam[0])
@@ -229,11 +225,12 @@ def linearize_block(params: Params, asm: BlockAssembly) -> Tuple[jnp.ndarray, Bl
             ds5,
             jnp.broadcast_to(asm.eg_sh.T[None], (o, d, 9)),
             jnp.broadcast_to(asm.eg_vpos.T[None], (o, d, 3)),
-            asm.eg_frame,
+            _fid_rows(o, d),
             asm.images,
             asm.pyr_scale,
             asm.voxel_size,
             active=(asm.eg_w > 0).astype(jnp.float32),
+            frame_major=True,
         )
 
     # elements are independent, so ONE reverse pass with a ones cotangent
@@ -276,8 +273,6 @@ def jv_block(lin: BlockLin, asm: BlockAssembly, v: Params):
     """J·v — tangent of the residual parts, fully dense."""
     nb = v.sdf.shape[0] - 1
     s = v.sdf.shape[1]
-    o = lin.r0_g.shape[0]
-    k = v.poses.shape[0]
 
     sh = asm.sdf_plan.apply(v.sdf)
     sha = asm.alb_plan.apply(v.albedo)
@@ -286,13 +281,10 @@ def jv_block(lin: BlockLin, asm: BlockAssembly, v: Params):
 
     y_g = jnp.sum(lin.a_sdf * shf, axis=0)
     y_g = y_g + jnp.sum(lin.a_alb * shaf, axis=0)
-    oh = _frame_onehot(asm.eg_frame, k)
-    vsel = jnp.dot(
-        oh, v.poses, precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32
-    ).reshape(o, -1, 6)
-    y_g = y_g + jnp.einsum("aon,ona->on", lin.a_pose, vsel)
-    y_g = y_g + jnp.einsum("aon,a->on", lin.a_intr, v.intr)
-    y_g = y_g + jnp.einsum("aon,a->on", lin.a_dist, v.dist)
+    # frame-major rows: the pose tangent of row k is simply v.poses[k]
+    y_g = y_g + jnp.einsum("akn,ka->kn", lin.a_pose, v.poses)
+    y_g = y_g + jnp.einsum("akn,a->kn", lin.a_intr, v.intr)
+    y_g = y_g + jnp.einsum("akn,a->kn", lin.a_dist, v.dist)
 
     c = asm.sdf_plan.index((0, 0, 0))
     lap = -6.0 * sh[c]
@@ -336,15 +328,10 @@ def jtv_block(lin: BlockLin, asm: BlockAssembly, y) -> Params:
         cot_a[ei] = cot_a[ei] - ya
     g_alb = asm.alb_plan.apply_transpose(jnp.stack(cot_a))
 
-    k = asm.images.shape[0]
-    oh = _frame_onehot(asm.eg_frame, k)  # [O·D, K]
-    p = (lin.a_pose * y_g[None]).reshape(6, -1)  # [6, O·D]
-    g_pose = jnp.einsum(
-        "dk,ad->ka", oh, p, precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
-    g_intr = jnp.einsum("aon,on->a", lin.a_intr, y_g)
-    g_dist = jnp.einsum("aon,on->a", lin.a_dist, y_g)
+    # frame-major rows: the pose cotangent of frame k is the row-k sum
+    g_pose = jnp.sum(lin.a_pose * y_g[None], axis=-1).T  # [K, 6]
+    g_intr = jnp.einsum("akn,kn->a", lin.a_intr, y_g)
+    g_dist = jnp.einsum("akn,kn->a", lin.a_dist, y_g)
     return Params(g_sdf, g_alb, g_pose, g_intr, g_dist)
 
 
@@ -375,15 +362,9 @@ def diag_from_lin(lin: BlockLin, asm: BlockAssembly) -> Params:
         cot_a[ei] = cot_a[ei] + wl_a[dd]
     d_alb = asm.alb_plan.apply_transpose(jnp.stack(cot_a))
 
-    k = asm.images.shape[0]
-    oh = _frame_onehot(asm.eg_frame, k)
-    p2 = (lin.a_pose * lin.a_pose).reshape(6, -1)
-    d_pose = jnp.einsum(
-        "dk,ad->ka", oh, p2, precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
-    d_intr = jnp.einsum("aon->a", lin.a_intr * lin.a_intr)
-    d_dist = jnp.einsum("aon->a", lin.a_dist * lin.a_dist)
+    d_pose = jnp.sum(lin.a_pose * lin.a_pose, axis=-1).T  # [K, 6]
+    d_intr = jnp.einsum("akn->a", lin.a_intr * lin.a_intr)
+    d_dist = jnp.einsum("akn->a", lin.a_dist * lin.a_dist)
     return Params(d_sdf, d_alb, d_pose, d_intr, d_dist)
 
 
@@ -433,9 +414,10 @@ def to_block_problem(
     directly on device, see `refine.device_assembly`). Pure re-layout: same
     energy, same free parameters.
 
-    `num_obs` is the observation-slot capacity O of the dense (obs, slot)
-    element layout (``Intrinsic3D::Config num_observations``); 0 derives the
-    smallest capacity from the active elements."""
+    `num_obs` is accepted for API stability but unused: the dense layout is
+    FRAME-MAJOR `[K, D]` (row = keyframe), so the row capacity is the
+    keyframe count and each active element lands at its (frame, slot)."""
+    del num_obs
     s = layout.block**3
     nb = layout.num_blocks
     d = nb * s
@@ -443,22 +425,16 @@ def to_block_problem(
     eg_slot = layout.slots_of(np.asarray(asm.eg_vpos))
     eg_slot = np.where(eg_slot >= 0, eg_slot, 0).astype(np.int64)
 
-    # rank each ACTIVE element among its voxel's active observations →
-    # unique (rank, slot) dense coordinates
+    # frame-major placement: active element (voxel, frame) → row `frame`
+    # (the table assembly already applied the top-N observation cap, and a
+    # voxel observes each keyframe at most once — no collisions)
     eg_w_np = np.asarray(asm.eg_w)
     active = eg_w_np > 0.0
-    order = np.argsort(eg_slot[active], kind="stable")
-    srt = eg_slot[active][order]
-    first = np.searchsorted(srt, srt)
-    rank = np.empty(len(srt), np.int64)
-    rank[order] = np.arange(len(srt)) - first
-    o_cap = max(int(num_obs), int(rank.max()) + 1 if len(rank) else 1, 1)
+    o_cap = int(asm.images.shape[0])
 
-    didx = rank * d + eg_slot[active]
+    didx = np.asarray(asm.eg_frame)[active].astype(np.int64) * d + eg_slot[active]
     eg_w = np.zeros(o_cap * d, np.float32)
     eg_w[didx] = eg_w_np[active]
-    eg_frame = np.zeros(o_cap * d, np.int32)
-    eg_frame[didx] = np.asarray(asm.eg_frame)[active]
 
     # per-voxel element data (identical across a voxel's observations —
     # scatter from active elements; slots without elements carry weight 0)
@@ -492,7 +468,6 @@ def to_block_problem(
 
     basm = BlockAssembly(
         eg_w=jnp.asarray(eg_w.reshape(o_cap, d)),
-        eg_frame=jnp.asarray(eg_frame.reshape(o_cap, d)),
         eg_sh=jnp.asarray(eg_sh),
         eg_vpos=jnp.asarray(eg_vpos),
         sdf_plan=sdf_plan,

@@ -190,15 +190,19 @@ def device_assembly(
         return w
 
     weights = jax.lax.map(one_frame, (params.poses, depths))  # [K, D]
-    k = min(num_obs, weights.shape[0])
-    obs_w, obs_f = jax.lax.top_k(weights.T, k)  # [D, k]
+    # frame-major top-N cap: keep each voxel's num_obs best frames IN PLACE
+    # (row = keyframe). Double argsort = per-voxel descending rank with the
+    # same tie order as lax.top_k (lower frame index wins).
+    kcap = min(num_obs, weights.shape[0])
+    order = jnp.argsort(-weights, axis=0, stable=True)
+    rank = jnp.argsort(order, axis=0, stable=True)
+    sel = rank < kcap
 
     w_sdf = jnp.clip(
         1.0 - jnp.minimum(jnp.abs(sdfr), truncation) / truncation, 0.01, 1.0
     ).reshape(d)
     eg_gate = (gate & stencil_ok).reshape(d)
-    eg_w = jnp.where(eg_gate[:, None], obs_w * w_sdf[:, None], 0.0).T  # [O, D]
-    eg_frame = obs_f.T.astype(jnp.int32)  # [O, D]
+    eg_w = jnp.where(eg_gate[None, :] & sel, weights * w_sdf[None, :], 0.0)  # [K, D]
 
     # --- E_r / E_s / E_a weights --------------------------------------------
     er_w = jnp.where(gate & ring_ok, 1.0, 0.0) * jnp.where(lambdas[1] > 0.0, 1.0, 0.0)
@@ -216,7 +220,6 @@ def device_assembly(
     # --- assembly with the creation-time validity probe ---------------------
     asm = BlockAssembly(
         eg_w=eg_w,
-        eg_frame=eg_frame,
         eg_sh=st.eg_sh,
         eg_vpos=st.vpos,
         sdf_plan=sdf_plan,

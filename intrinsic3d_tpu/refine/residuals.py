@@ -86,7 +86,7 @@ def _catmull_rom_w(t):
     )
 
 
-def catrom_sample_frames(images, fid, x, y, active=None):
+def catrom_sample_frames(images, fid, x, y, active=None, frame_major=False):
     """Catmull-Rom bicubic sample of `images[fid]` at (x, y), batched over
     elements. Callers must guarantee x∈[1, W−2), y∈[1, H−2) (enforced via
     clipping + validity masks).
@@ -107,7 +107,13 @@ def catrom_sample_frames(images, fid, x, y, active=None):
     masked kernel (ops/pallas/bicubic.py): whole inactive chunks are skipped
     on the MXU and the backward pass is two analytic dots instead of a
     checkpoint replay. Reverse-mode only — leave `active=None` on paths that
-    need `jax.linearize`/jvp."""
+    need `jax.linearize`/jvp.
+
+    `frame_major=True` (requires 2-D `[K, D]` batches whose row k samples
+    only keyframe k, the block layout of refine/blockform.py) additionally
+    opts into the row-WINDOWED kernel: each 512-element chunk fetches a
+    3×128-row window of the image stack from HBM instead of holding all
+    K·H rows in VMEM — ~5x fewer row-select MACs and no K·H ceiling."""
     k, h, w = images.shape
     scalar = jnp.ndim(x) == 0
     x = jnp.clip(x, 1.0, w - 2.001)
@@ -130,6 +136,25 @@ def catrom_sample_frames(images, fid, x, y, active=None):
 
     shape = x0.shape
     m = int(np.prod(shape))
+    if active is not None and frame_major and jnp.ndim(x) == 2 and m >= 1024:
+        from intrinsic3d_tpu.ops.pallas.bicubic import CHUNK, bicubic_sample_rows
+
+        # pad the slot axis to a chunk multiple so no sampler chunk straddles
+        # two keyframe rows (the windowed kernel's frame-uniformity contract)
+        kk, d = x.shape
+        dpad = (-d) % CHUNK
+
+        def padded(a):
+            return jnp.pad(a, ((0, 0), (0, dpad))) if dpad else a
+
+        out = bicubic_sample_rows(
+            images,
+            padded(fid).reshape(-1).astype(jnp.int32),
+            padded(x).reshape(-1),
+            padded(y).reshape(-1),
+            padded(active).reshape(-1).astype(jnp.float32),
+        ).reshape(kk, d + dpad)
+        return out[:, :d] if dpad else out
     if active is not None and k * h <= 4096 and m >= 1024:
         from intrinsic3d_tpu.ops.pallas.bicubic import bicubic_sample
 
@@ -204,7 +229,7 @@ _N4 = ((0, 6, 1, 4), (6, 9, 7, 8), (1, 7, 2, 3), (4, 8, 3, 5))
 _POINT_OFFSETS = ((0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1))
 
 
-def eg_core(sdf10, alb4, pose6, intr4, dist5, sh9, vpos3, fid, images, pyr_scale, voxel_size, validity_only=False, active=None):
+def eg_core(sdf10, alb4, pose6, intr4, dist5, sh9, vpos3, fid, images, pyr_scale, voxel_size, validity_only=False, active=None, frame_major=False):
     """E_g residual body; every argument batched over elements `[M, ...]`
     except `images` (``shading_cost.h:132-197``). Returns unweighted r [M].
 
@@ -248,7 +273,9 @@ def eg_core(sdf10, alb4, pose6, intr4, dist5, sh9, vpos3, fid, images, pyr_scale
         # bicubic support needs u∈[1, W−2), v∈[1, H−2)
         valid = valid & z_ok & (u >= 1.0) & (u < w - 2) & (v >= 1.0) & (v < h - 2)
         if not validity_only:
-            lums.append(catrom_sample_frames(images, fid, u, v, active=active))
+            lums.append(
+                catrom_sample_frames(images, fid, u, v, active=active, frame_major=frame_major)
+            )
             shadings.append(alb4[..., k] * jnp.sum(sh9 * sh_basis(n), axis=-1))
 
     if validity_only:

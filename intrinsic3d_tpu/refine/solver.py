@@ -185,7 +185,7 @@ def gn_iteration(
     """
     if isinstance(asm, blockform.BlockAssembly):
         # hand-rolled linearization: ONE reverse pass for the E_g element
-        # Jacobian, dense (obs, slot) coefficient fields, and a matvec that is
+        # Jacobian, dense frame-major (keyframe, slot) coefficient fields, and a matvec that is
         # pure dense math + one-hot matmuls (see blockform.BlockLin)
         cost0, lin = blockform.linearize_block(params, asm)
         jlin = lambda v: blockform.jv_block(lin, asm, v)  # noqa: E731

@@ -144,3 +144,56 @@ def test_pallas_bicubic_inactive_chunk_zero_grad():
     assert np.all(np.asarray(gx)[CHUNK:] == 0.0)
     assert np.all(np.asarray(gy)[CHUNK:] == 0.0)
     assert np.any(np.asarray(gx)[:CHUNK] != 0.0)
+
+
+# ---- row-windowed sampler (bicubic_sample_rows) ----
+
+def _frame_major_problem(k, h, w, d, seed=4):
+    rng = np.random.default_rng(seed)
+    images = jnp.asarray(rng.random((k, h, w), dtype=np.float32))
+    x = jnp.asarray(rng.uniform(0.0, w, (k, d)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(0.0, h, (k, d)).astype(np.float32))
+    fid = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[:, None], (k, d))
+    act = jnp.asarray((rng.random((k, d)) < 0.3).astype(np.float32))
+    return images, fid, x, y, act
+
+
+@pytest.mark.parametrize("k,h,w", [(3, 48, 64), (2, 480, 96)])
+def test_windowed_sampler_matches_xla(k, h, w):
+    """Forward + analytic backward of the row-windowed kernel vs the XLA
+    sampler; h=480 exercises the multi-pass (window taller than one pass)
+    path, and d is NOT a CHUNK multiple to exercise the slot padding."""
+    import jax
+
+    from intrinsic3d_tpu.ops.pallas.bicubic import CHUNK
+    from intrinsic3d_tpu.refine.residuals import catrom_sample_frames
+
+    d = 2 * CHUNK + 7
+    images, fid, x, y, act = _frame_major_problem(k, h, w, d)
+    ref = catrom_sample_frames(images, fid, x, y)
+    got = catrom_sample_frames(images, fid, x, y, active=act, frame_major=True)
+    a = np.asarray(act) > 0
+    np.testing.assert_allclose(np.asarray(got)[a], np.asarray(ref)[a], atol=5e-3)
+
+    def loss(sampler_kwargs):
+        def f(xy):
+            xx, yy = xy
+            out = catrom_sample_frames(images, fid, xx, yy, **sampler_kwargs)
+            return jnp.sum(jnp.sin(out) * act)
+
+        return f
+
+    gw = jax.grad(loss(dict(active=act, frame_major=True)))((x, y))
+    gr = jax.grad(loss({}))((x, y))
+    np.testing.assert_allclose(np.asarray(gw[0]), np.asarray(gr[0]), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(gw[1]), np.asarray(gr[1]), atol=2e-2)
+
+
+def test_windowed_sampler_inactive_rows_are_zero():
+    from intrinsic3d_tpu.ops.pallas.bicubic import CHUNK
+    from intrinsic3d_tpu.refine.residuals import catrom_sample_frames
+
+    images, fid, x, y, act = _frame_major_problem(2, 32, 48, 2 * CHUNK)
+    act = act.at[1].set(0.0)  # whole frame row inactive -> chunks skipped
+    got = catrom_sample_frames(images, fid, x, y, active=act, frame_major=True)
+    np.testing.assert_array_equal(np.asarray(got)[1], 0.0)
