@@ -113,12 +113,17 @@ def main():
     jax.block_until_ready(out)
 
     iters = 3
-    tries_total = 0
+    tries_list = []
     t0 = time.perf_counter()
     for _ in range(iters):
+        # no host sync inside the loop: iterations chain on device (pulling
+        # `tries` here would stall the device ~24 ms per dispatch round-trip
+        # on a remote-tunnel link); fetch everything once at the end
         params, c0, c1, mu, tries = outer_iteration(params, mu)
-        jax.block_until_ready(params)
-        tries_total += int(tries)
+        tries_list.append(tries)
+    # a VALUE fetch of the last iteration's output is the sync point (the
+    # iterations chain through `params`/`mu` data dependencies)
+    tries_total = sum(int(t) for t in tries_list)
     dt = time.perf_counter() - t0
 
     # E_g algebra per GN iteration: 1 linearization + 29-parameter exact

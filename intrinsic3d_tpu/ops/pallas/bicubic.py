@@ -274,30 +274,41 @@ WIN = WB * NSEG
 
 
 def _win_specs(w: int):
-    row_i = pl.BlockSpec((1, 1, CHUNK), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
+    # every data movement is driven by the scalar-prefetch meta so that runs
+    # of SKIPPED chunks cost (almost) nothing: their per-element fetch maps
+    # to block meta[2,i]=0 and their output to a shared trash block
+    # meta[3,i]=nchunks — Pallas elides DMAs whose block index is unchanged
+    # between consecutive grid steps
+    row_i = pl.BlockSpec(
+        (1, 1, CHUNK), lambda i, meta: (meta[2, i], 0, 0), memory_space=pltpu.VMEM
+    )
 
     def wspec(j):
         return pl.BlockSpec((WB, w), lambda i, meta, j=j: (meta[1, i] + j, 0))
 
     img_specs = [wspec(j) for j in range(NSEG)]
-    out = pl.BlockSpec((1, 1, CHUNK), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.BlockSpec(
+        (1, 1, CHUNK), lambda i, meta: (meta[3, i], 0, 0), memory_space=pltpu.VMEM
+    )
     return row_i, img_specs, out
 
 
-def _win_row_mix(whs, wls, rloc, wy4):
-    """Σ_j wy4[j]·window_row[rloc+j] over NSEG stacked window blocks."""
-    acc = None
-    for s in range(NSEG):
-        local = rloc - s * WB
-        sel = _onehot_rows(local, wy4, WB)
-        s_hi, s_lo = _split_bf16(sel)
+def _win_cat(whs, wls):
+    """Concat the NSEG window blocks into one [WIN, W] bf16 pair (cheap VPU
+    copies that let the row mix run as ONE [rows, WIN] @ [WIN, W] dot per
+    bf16 product instead of 3 segment dots — better MXU utilization)."""
+    wh = jnp.concatenate([r[:] for r in whs], axis=0)
+    wl = jnp.concatenate([r[:] for r in wls], axis=0)
+    return wh, wl
 
-        def dot(a, b):
-            return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
-        part = dot(s_hi, whs[s][:]) + dot(s_hi, wls[s][:]) + dot(s_lo, whs[s][:])
-        acc = part if acc is None else acc + part
-    return acc
+def _bf16x3(sel, wh, wl):
+    s_hi, s_lo = _split_bf16(sel)
+
+    def dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    return dot(s_hi, wh) + dot(s_hi, wl) + dot(s_lo, wh)
 
 
 def _win_fwd_kernel(meta_ref, rloc_ref, ty_ref, c0_ref, tx_ref, *refs):
@@ -308,13 +319,12 @@ def _win_fwd_kernel(meta_ref, rloc_ref, ty_ref, c0_ref, tx_ref, *refs):
         rloc = rloc_ref[0, 0, :]
         inw = ((rloc >= 0) & (rloc <= WIN - 4)).astype(jnp.float32)
         wy = tuple(w * inw for w in _catrom_w(ty_ref[0, 0, :]))
-        a = _win_row_mix((w0h, w1h, w2h), (w0l, w1l, w2l), rloc, wy)
+        wh, wl = _win_cat((w0h, w1h, w2h), (w0l, w1l, w2l))
+        a = _bf16x3(_onehot_rows(rloc, wy, WIN), wh, wl)
         colw = _onehot_rows(c0_ref[0, 0, :], _catrom_w(tx_ref[0, 0, :]), w0h.shape[1])
         out_ref[0, 0, :] = jnp.sum(a * colw, axis=-1)
-
-    @pl.when(meta_ref[0, pl.program_id(0)] == 0)
-    def _():
-        out_ref[0, 0, :] = jnp.zeros_like(out_ref[0, 0, :])
+    # skipped chunks write NOTHING: their out block is the shared trash row
+    # and the caller masks every lane it consumes with `hit`
 
 
 def _win_bwd_kernel(meta_ref, rloc_ref, ty_ref, c0_ref, tx_ref, g_ref, *refs):
@@ -327,22 +337,23 @@ def _win_bwd_kernel(meta_ref, rloc_ref, ty_ref, c0_ref, tx_ref, g_ref, *refs):
         tx = tx_ref[0, 0, :]
         g = g_ref[0, 0, :]
         w = w0h.shape[1]
+        n = rloc.shape[0]
         inw = ((rloc >= 0) & (rloc <= WIN - 4)).astype(jnp.float32)
-        whs = (w0h, w1h, w2h)
-        wls = (w0l, w1l, w2l)
         wy = tuple(v * inw for v in _catrom_w(ty))
         dwy = tuple(v * inw for v in _catrom_dw(ty))
-        a_dy = _win_row_mix(whs, wls, rloc, dwy)
+        wh, wl = _win_cat((w0h, w1h, w2h), (w0l, w1l, w2l))
+        # stack the value and d/dty row selections into ONE [2·chunk, WIN]
+        # operand — half the dot dispatches of two separate row mixes
+        sel2 = jnp.concatenate(
+            [_onehot_rows(rloc, wy, WIN), _onehot_rows(rloc, dwy, WIN)], axis=0
+        )
+        a2 = _bf16x3(sel2, wh, wl)  # [2·chunk, W]
+        a, a_dy = a2[:n], a2[n:]
         colw = _onehot_rows(c0_ref[0, 0, :], _catrom_w(tx), w)
         dy_ref[0, 0, :] = g * jnp.sum(a_dy * colw, axis=-1)
-        a = _win_row_mix(whs, wls, rloc, wy)
         dcolw = _onehot_rows(c0_ref[0, 0, :], _catrom_dw(tx), w)
         dx_ref[0, 0, :] = g * jnp.sum(a * dcolw, axis=-1)
-
-    @pl.when(meta_ref[0, pl.program_id(0)] == 0)
-    def _():
-        dx_ref[0, 0, :] = jnp.zeros_like(dx_ref[0, 0, :])
-        dy_ref[0, 0, :] = jnp.zeros_like(dy_ref[0, 0, :])
+    # skipped chunks: no writes (trash out block, caller masks with `hit`)
 
 
 def _num_passes(h: int) -> int:
@@ -398,17 +409,111 @@ def _win_prep(images, fid, x, y, active):
     )
 
 
-def _pass_meta(r0, remaining, nchunks, khpad):
-    """Per-pass scalar-prefetch meta: chunk activity + window block index."""
+def _ffill(vals, valid):
+    """Forward-fill `vals` over entries where `valid` is False (associative
+    scan): keeps the window index of skipped chunks equal to the previous
+    active chunk's, so skipped runs never trigger a window re-fetch."""
+
+    def op(a, b):
+        av, ax = a
+        bv, bx = b
+        return (av | bv, jnp.where(bv, bx, ax))
+
+    _, filled = jax.lax.associative_scan(op, (valid, vals))
+    return filled
+
+
+def _pass_meta(r0, remaining, nchunks, khpad, cap=None):
+    """Per-pass scalar-prefetch meta: (activity, window block index,
+    per-element fetch index, output block index) per GRID STEP.
+
+    With `cap=None` the grid walks all `nchunks` chunks — skipped steps are
+    nearly free: their per-element fetches all map to block 0 and their
+    output to the shared trash block, so Pallas elides the DMAs (measured
+    ~1.3 ms for 21k all-skipped steps vs ~27 ms of active compute). With an
+    integer cap the grid is COMPACTED to the first `cap` chunks that still
+    have remaining elements (`jnp.nonzero(size=cap)`) — measured a net LOSS
+    at this problem scale (the [M]-wide cumsum/nonzero costs more than the
+    skipped steps), kept for callers with extreme sparsity. Returns
+    (meta [4, G], rloc chunks, hit_base [M]) where hit_base marks elements
+    this pass definitely computed."""
     r0c = r0.reshape(nchunks, CHUNK)
     remc = remaining.reshape(nchunks, CHUNK)
     rmin = jnp.min(jnp.where(remc, r0c, khpad), axis=1)
     wb = jnp.clip(rmin // WB, 0, khpad // WB - NSEG)
     anyrem = jnp.any(remc, axis=1)
-    meta = jnp.stack([anyrem.astype(jnp.int32), wb.astype(jnp.int32)])
+    wb = _ffill(wb, anyrem)
     rloc = r0 - jnp.repeat(wb * WB, CHUNK)
     in_win = (rloc >= 0) & (rloc <= WIN - 4)
-    return meta, rloc.reshape(nchunks, 1, CHUNK), in_win
+    if cap is None:
+        idx = jnp.arange(nchunks, dtype=jnp.int32)
+        meta = jnp.stack(
+            [
+                anyrem.astype(jnp.int32),
+                wb.astype(jnp.int32),
+                jnp.where(anyrem, idx, 0),
+                jnp.where(anyrem, idx, nchunks).astype(jnp.int32),
+            ]
+        )
+        covered = anyrem
+    else:
+        count = jnp.sum(anyrem.astype(jnp.int32))
+        (idx,) = jnp.nonzero(anyrem, size=cap, fill_value=0)
+        idx = idx.astype(jnp.int32)
+        slot = jnp.arange(cap, dtype=jnp.int32) < count
+        meta = jnp.stack(
+            [
+                slot.astype(jnp.int32),
+                wb[idx].astype(jnp.int32),
+                jnp.where(slot, idx, 0),
+                jnp.where(slot, idx, nchunks).astype(jnp.int32),
+            ]
+        )
+        rank = jnp.cumsum(anyrem.astype(jnp.int32)) - 1
+        covered = anyrem & (rank < cap)
+    hit_base = in_win & jnp.repeat(covered, CHUNK)
+    return meta, rloc.reshape(nchunks, 1, CHUNK), hit_base
+
+
+def _cap(nchunks: int):
+    # full grid: skipped steps cost ~nothing thanks to the meta-driven DMA
+    # elision; compaction's [M]-wide bookkeeping measured net-negative here
+    return None
+
+
+def _call_fwd(meta, rloc, ty, c0, tx, img_hi, img_lo, grid_len, nchunks, w):
+    row_i, img_specs, out_s = _win_specs(w)
+    return pl.pallas_call(
+        _win_fwd_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid_len,),
+            in_specs=[row_i, row_i, row_i, row_i] + img_specs * 2,
+            out_specs=out_s,
+        ),
+        out_shape=jax.ShapeDtypeStruct((nchunks + 1, 1, CHUNK), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(meta, rloc, ty, c0, tx, img_hi, img_hi, img_hi, img_lo, img_lo, img_lo)
+
+
+def _call_bwd(meta, rloc, ty, c0, tx, gc, img_hi, img_lo, grid_len, nchunks, w):
+    row_i, img_specs, out_s = _win_specs(w)
+    return pl.pallas_call(
+        _win_bwd_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid_len,),
+            in_specs=[row_i, row_i, row_i, row_i, row_i] + img_specs * 2,
+            out_specs=(out_s, out_s),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nchunks + 1, 1, CHUNK), jnp.float32),
+            jax.ShapeDtypeStruct((nchunks + 1, 1, CHUNK), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(meta, rloc, ty, c0, tx, gc, img_hi, img_hi, img_hi, img_lo, img_lo, img_lo)
 
 
 @jax.custom_vjp
@@ -424,26 +529,24 @@ def _rows_fwd(images, fid, x, y, active):
     img_hi, img_lo, khpad, act, r0, ty, c0, tx, nchunks, m, h, w = _win_prep(
         images, fid, x, y, active
     )
-    row_i, img_specs, out_s = _win_specs(w)
+    cap = _cap(nchunks)
     out = jnp.zeros(nchunks * CHUNK, jnp.float32)
     remaining = act
     for _ in range(_num_passes(h)):
-        meta, rloc, in_win = _pass_meta(r0, remaining, nchunks, khpad)
-        pout = pl.pallas_call(
-            _win_fwd_kernel,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                grid=(nchunks,),
-                in_specs=[row_i, row_i, row_i, row_i] + img_specs * 2,
-                out_specs=out_s,
-            ),
-            out_shape=jax.ShapeDtypeStruct((nchunks, 1, CHUNK), jnp.float32),
-            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-            interpret=_interpret(),
-        )(meta, rloc, ty, c0, tx, img_hi, img_hi, img_hi, img_lo, img_lo, img_lo)
-        hit = remaining & in_win
-        out = jnp.where(hit, pout.reshape(-1), out)
-        remaining = remaining & ~in_win
+        meta, rloc, hit_base = _pass_meta(r0, remaining, nchunks, khpad, cap)
+        pout = _call_fwd(meta, rloc, ty, c0, tx, img_hi, img_lo, cap or nchunks, nchunks, w)
+        out = jnp.where(remaining & hit_base, pout[:nchunks].reshape(-1), out)
+        remaining = remaining & ~hit_base
+    # capacity/window fallback: full-grid passes until nothing remains —
+    # normally zero iterations (the cond on `remaining` fails immediately)
+    def body(carry):
+        out, remaining = carry
+        meta, rloc, hit_base = _pass_meta(r0, remaining, nchunks, khpad)
+        pout = _call_fwd(meta, rloc, ty, c0, tx, img_hi, img_lo, nchunks, nchunks, w)
+        out = jnp.where(remaining & hit_base, pout[:nchunks].reshape(-1), out)
+        return out, remaining & ~hit_base
+
+    out, _ = jax.lax.while_loop(lambda c: jnp.any(c[1]), body, (out, remaining))
     return out[:m], (images, fid, x, y, active)
 
 
@@ -452,7 +555,7 @@ def _rows_bwd(res, g):
     img_hi, img_lo, khpad, act, r0, ty, c0, tx, nchunks, m, h, w = _win_prep(
         images, fid, x, y, active
     )
-    row_i, img_specs, out_s = _win_specs(w)
+    cap = _cap(nchunks)
     gc = (jnp.pad(g, (0, nchunks * CHUNK - m)) if nchunks * CHUNK > m else g).reshape(
         nchunks, 1, CHUNK
     )
@@ -460,26 +563,23 @@ def _rows_bwd(res, g):
     dy = jnp.zeros(nchunks * CHUNK, jnp.float32)
     remaining = act
     for _ in range(_num_passes(h)):
-        meta, rloc, in_win = _pass_meta(r0, remaining, nchunks, khpad)
-        pdx, pdy = pl.pallas_call(
-            _win_bwd_kernel,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                grid=(nchunks,),
-                in_specs=[row_i, row_i, row_i, row_i, row_i] + img_specs * 2,
-                out_specs=(out_s, out_s),
-            ),
-            out_shape=(
-                jax.ShapeDtypeStruct((nchunks, 1, CHUNK), jnp.float32),
-                jax.ShapeDtypeStruct((nchunks, 1, CHUNK), jnp.float32),
-            ),
-            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-            interpret=_interpret(),
-        )(meta, rloc, ty, c0, tx, gc, img_hi, img_hi, img_hi, img_lo, img_lo, img_lo)
-        hit = remaining & in_win
-        dx = jnp.where(hit, pdx.reshape(-1), dx)
-        dy = jnp.where(hit, pdy.reshape(-1), dy)
-        remaining = remaining & ~in_win
+        meta, rloc, hit_base = _pass_meta(r0, remaining, nchunks, khpad, cap)
+        pdx, pdy = _call_bwd(meta, rloc, ty, c0, tx, gc, img_hi, img_lo, cap or nchunks, nchunks, w)
+        hit = remaining & hit_base
+        dx = jnp.where(hit, pdx[:nchunks].reshape(-1), dx)
+        dy = jnp.where(hit, pdy[:nchunks].reshape(-1), dy)
+        remaining = remaining & ~hit_base
+
+    def body(carry):
+        dx, dy, remaining = carry
+        meta, rloc, hit_base = _pass_meta(r0, remaining, nchunks, khpad)
+        pdx, pdy = _call_bwd(meta, rloc, ty, c0, tx, gc, img_hi, img_lo, nchunks, nchunks, w)
+        hit = remaining & hit_base
+        dx = jnp.where(hit, pdx[:nchunks].reshape(-1), dx)
+        dy = jnp.where(hit, pdy[:nchunks].reshape(-1), dy)
+        return dx, dy, remaining & ~hit_base
+
+    dx, dy, _ = jax.lax.while_loop(lambda c: jnp.any(c[2]), body, (dx, dy, remaining))
     dx = dx[:m]
     dy = dy[:m]
     in_x = (x >= 1.0) & (x < w - 2.001)

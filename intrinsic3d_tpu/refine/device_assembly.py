@@ -184,12 +184,14 @@ def device_assembly(
     nflat = normals.reshape(d, 3)
     iso = pts - nflat * sdfr.reshape(d)[:, None]
 
-    def one_frame(args):
-        pose6, depth = args
+    def one_frame(pose6, depth):
         w, _ = compute_observation(cam, pose6, depth, iso, nflat, occlusion_distance)
         return w
 
-    weights = jax.lax.map(one_frame, (params.poses, depths))  # [K, D]
+    # vmap, not lax.map: K is small and the per-frame passes are independent —
+    # serializing them left the device underutilized (profiled 29.6 ms; the
+    # batched form fuses into one pass over [K, D])
+    weights = jax.vmap(one_frame)(params.poses, depths)  # [K, D]
     # frame-major top-N cap: keep each voxel's num_obs best frames IN PLACE
     # (row = keyframe). Double argsort = per-voxel descending rank with the
     # same tie order as lax.top_k (lower frame index wins).

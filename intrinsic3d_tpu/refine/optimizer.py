@@ -140,16 +140,23 @@ def optimize_level(
             params, cost0, cost1, mu, tries = gn_iteration(
                 params, asm, masks, mu, cfg.lm_steps, cg_iters
             )
-        stats.costs_before.append(float(cost0))
-        stats.costs_after.append(float(cost1))
-        stats.tries.append(int(tries))
+        # defer the scalar pulls: a host round trip stalls the device ~24 ms
+        # per dispatch on a remote link (BENCH_NOTES.md); iterations chain
+        # through on-device params/mu, values are fetched after the loop
+        stats.costs_before.append(cost0)
+        stats.costs_after.append(cost1)
+        stats.tries.append(tries)
+
+    stats.costs_before = [float(c) for c in stats.costs_before]
+    stats.costs_after = [float(c) for c in stats.costs_after]
+    stats.tries = [int(t) for t in stats.tries]
+    for itr in range(cfg.iterations):
         log.info(
-            "   iter %d: cost %.6e -> %.6e (lm tries %d, mu %.2e)",
+            "   iter %d: cost %.6e -> %.6e (lm tries %d)",
             itr,
-            float(cost0),
-            float(cost1),
-            int(tries),
-            float(mu),
+            stats.costs_before[itr],
+            stats.costs_after[itr],
+            stats.tries[itr],
         )
 
     if use_blocks:

@@ -247,6 +247,7 @@ def eg_core(sdf10, alb4, pose6, intr4, dist5, sh9, vpos3, fid, images, pyr_scale
 
     lums = []
     shadings = []
+    uvs = []
     valid = jnp.ones(sdf10.shape[:-1], bool)
     aa = pose6[..., :3]
     t = pose6[..., 3:]
@@ -273,13 +274,26 @@ def eg_core(sdf10, alb4, pose6, intr4, dist5, sh9, vpos3, fid, images, pyr_scale
         # bicubic support needs u∈[1, W−2), v∈[1, H−2)
         valid = valid & z_ok & (u >= 1.0) & (u < w - 2) & (v >= 1.0) & (v < h - 2)
         if not validity_only:
-            lums.append(
-                catrom_sample_frames(images, fid, u, v, active=active, frame_major=frame_major)
-            )
+            if jnp.ndim(u) == 0:
+                lums.append(catrom_sample_frames(images, fid, u, v, active=active))
+            else:
+                uvs.append((u, v))
             shadings.append(alb4[..., k] * jnp.sum(sh9 * sh_basis(n), axis=-1))
 
     if validity_only:
         return jnp.where(valid, 1.0, 0.0)
+    if uvs:
+        # ONE batched sampler call for all 4 sample sites (concatenated along
+        # the leading axis, which keeps frame-major rows frame-uniform):
+        # amortizes the kernel launch + scalar-prefetch transfers 4x
+        us = jnp.concatenate([u for u, _ in uvs], axis=0)
+        vs = jnp.concatenate([v for _, v in uvs], axis=0)
+        fid4 = jnp.concatenate([fid] * 4, axis=0)
+        act4 = None if active is None else jnp.concatenate([active] * 4, axis=0)
+        lum = catrom_sample_frames(images, fid4, us, vs, active=act4, frame_major=frame_major)
+        lums = list(jnp.split(lum, 4, axis=0))
+        if lums[0].shape != valid.shape:
+            lums = [l.reshape(valid.shape) for l in lums]
     lum4 = jnp.stack(lums, axis=-1)
     sh4 = jnp.stack(shadings, axis=-1)
     d = (sh4[..., 1:] - sh4[..., :1]) - (lum4[..., 1:] - lum4[..., :1])
