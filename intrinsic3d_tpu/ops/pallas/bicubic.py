@@ -327,15 +327,19 @@ def _win_fwd_kernel(meta_ref, rloc_ref, ty_ref, c0_ref, tx_ref, *refs):
     # and the caller masks every lane it consumes with `hit`
 
 
-def _win_bwd_kernel(meta_ref, rloc_ref, ty_ref, c0_ref, tx_ref, g_ref, *refs):
-    (w0h, w1h, w2h, w0l, w1l, w2l, dx_ref, dy_ref) = refs
+def _win_fwdgrad_kernel(meta_ref, rloc_ref, ty_ref, c0_ref, tx_ref, *refs):
+    """Value + BOTH directional derivatives in one pass. The custom_vjp
+    forward rule uses this: ∂out/∂x and ∂out/∂y are per-element scalars, so
+    emitting them here makes the backward a pure elementwise `g·ddx` with no
+    kernel at all — 6 window dots total instead of 3 (fwd) + 6 (bwd), and
+    the row selections are built once."""
+    (w0h, w1h, w2h, w0l, w1l, w2l, out_ref, ddx_ref, ddy_ref) = refs
 
     @pl.when(meta_ref[0, pl.program_id(0)] > 0)
     def _():
         rloc = rloc_ref[0, 0, :]
         ty = ty_ref[0, 0, :]
         tx = tx_ref[0, 0, :]
-        g = g_ref[0, 0, :]
         w = w0h.shape[1]
         n = rloc.shape[0]
         inw = ((rloc >= 0) & (rloc <= WIN - 4)).astype(jnp.float32)
@@ -350,9 +354,10 @@ def _win_bwd_kernel(meta_ref, rloc_ref, ty_ref, c0_ref, tx_ref, g_ref, *refs):
         a2 = _bf16x3(sel2, wh, wl)  # [2·chunk, W]
         a, a_dy = a2[:n], a2[n:]
         colw = _onehot_rows(c0_ref[0, 0, :], _catrom_w(tx), w)
-        dy_ref[0, 0, :] = g * jnp.sum(a_dy * colw, axis=-1)
+        out_ref[0, 0, :] = jnp.sum(a * colw, axis=-1)
+        ddy_ref[0, 0, :] = jnp.sum(a_dy * colw, axis=-1)
         dcolw = _onehot_rows(c0_ref[0, 0, :], _catrom_dw(tx), w)
-        dx_ref[0, 0, :] = g * jnp.sum(a * dcolw, axis=-1)
+        ddx_ref[0, 0, :] = jnp.sum(a * dcolw, axis=-1)
     # skipped chunks: no writes (trash out block, caller masks with `hit`)
 
 
@@ -497,23 +502,21 @@ def _call_fwd(meta, rloc, ty, c0, tx, img_hi, img_lo, grid_len, nchunks, w):
     )(meta, rloc, ty, c0, tx, img_hi, img_hi, img_hi, img_lo, img_lo, img_lo)
 
 
-def _call_bwd(meta, rloc, ty, c0, tx, gc, img_hi, img_lo, grid_len, nchunks, w):
+def _call_fwdgrad(meta, rloc, ty, c0, tx, img_hi, img_lo, grid_len, nchunks, w):
     row_i, img_specs, out_s = _win_specs(w)
+    shp = jax.ShapeDtypeStruct((nchunks + 1, 1, CHUNK), jnp.float32)
     return pl.pallas_call(
-        _win_bwd_kernel,
+        _win_fwdgrad_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(grid_len,),
-            in_specs=[row_i, row_i, row_i, row_i, row_i] + img_specs * 2,
-            out_specs=(out_s, out_s),
+            in_specs=[row_i, row_i, row_i, row_i] + img_specs * 2,
+            out_specs=(out_s, out_s, out_s),
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((nchunks + 1, 1, CHUNK), jnp.float32),
-            jax.ShapeDtypeStruct((nchunks + 1, 1, CHUNK), jnp.float32),
-        ),
+        out_shape=(shp, shp, shp),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(meta, rloc, ty, c0, tx, gc, img_hi, img_hi, img_hi, img_lo, img_lo, img_lo)
+    )(meta, rloc, ty, c0, tx, img_hi, img_hi, img_hi, img_lo, img_lo, img_lo)
 
 
 @jax.custom_vjp
@@ -550,47 +553,50 @@ def _rows_fwd(images, fid, x, y, active):
     return out[:m], (images, fid, x, y, active)
 
 
-def _rows_bwd(res, g):
-    images, fid, x, y, active = res
+def _rows_fwd_rule(images, fid, x, y, active):
+    """vjp forward: the fwdgrad kernel emits the value AND the per-element
+    directional derivatives, so the backward is pure elementwise math."""
     img_hi, img_lo, khpad, act, r0, ty, c0, tx, nchunks, m, h, w = _win_prep(
         images, fid, x, y, active
     )
     cap = _cap(nchunks)
-    gc = (jnp.pad(g, (0, nchunks * CHUNK - m)) if nchunks * CHUNK > m else g).reshape(
-        nchunks, 1, CHUNK
-    )
-    dx = jnp.zeros(nchunks * CHUNK, jnp.float32)
-    dy = jnp.zeros(nchunks * CHUNK, jnp.float32)
-    remaining = act
+    out = jnp.zeros(nchunks * CHUNK, jnp.float32)
+    ddx = jnp.zeros(nchunks * CHUNK, jnp.float32)
+    ddy = jnp.zeros(nchunks * CHUNK, jnp.float32)
+
+    def merge(state, meta, rloc, hit_base, grid_len):
+        out, ddx, ddy, remaining = state
+        po, px, py = _call_fwdgrad(
+            meta, rloc, ty, c0, tx, img_hi, img_lo, grid_len, nchunks, w
+        )
+        hit = remaining & hit_base
+        out = jnp.where(hit, po[:nchunks].reshape(-1), out)
+        ddx = jnp.where(hit, px[:nchunks].reshape(-1), ddx)
+        ddy = jnp.where(hit, py[:nchunks].reshape(-1), ddy)
+        return out, ddx, ddy, remaining & ~hit_base
+
+    state = (out, ddx, ddy, act)
     for _ in range(_num_passes(h)):
-        meta, rloc, hit_base = _pass_meta(r0, remaining, nchunks, khpad, cap)
-        pdx, pdy = _call_bwd(meta, rloc, ty, c0, tx, gc, img_hi, img_lo, cap or nchunks, nchunks, w)
-        hit = remaining & hit_base
-        dx = jnp.where(hit, pdx[:nchunks].reshape(-1), dx)
-        dy = jnp.where(hit, pdy[:nchunks].reshape(-1), dy)
-        remaining = remaining & ~hit_base
+        meta, rloc, hit_base = _pass_meta(r0, state[3], nchunks, khpad, cap)
+        state = merge(state, meta, rloc, hit_base, cap or nchunks)
 
-    def body(carry):
-        dx, dy, remaining = carry
-        meta, rloc, hit_base = _pass_meta(r0, remaining, nchunks, khpad)
-        pdx, pdy = _call_bwd(meta, rloc, ty, c0, tx, gc, img_hi, img_lo, nchunks, nchunks, w)
-        hit = remaining & hit_base
-        dx = jnp.where(hit, pdx[:nchunks].reshape(-1), dx)
-        dy = jnp.where(hit, pdy[:nchunks].reshape(-1), dy)
-        return dx, dy, remaining & ~hit_base
+    def body(state):
+        meta, rloc, hit_base = _pass_meta(r0, state[3], nchunks, khpad)
+        return merge(state, meta, rloc, hit_base, nchunks)
 
-    dx, dy, _ = jax.lax.while_loop(lambda c: jnp.any(c[2]), body, (dx, dy, remaining))
-    dx = dx[:m]
-    dy = dy[:m]
+    out, ddx, ddy, _ = jax.lax.while_loop(
+        lambda s: jnp.any(s[3]), body, state
+    )
     in_x = (x >= 1.0) & (x < w - 2.001)
     in_y = (y >= 1.0) & (y < h - 2.001)
-    dx = jnp.where(in_x, dx, 0.0)
-    dy = jnp.where(in_y, dy, 0.0)
-    return (None, None, dx, dy, None)
+    ddx = jnp.where(in_x, ddx[:m], 0.0)
+    ddy = jnp.where(in_y, ddy[:m], 0.0)
+    return out[:m], (ddx, ddy)
 
 
-def _rows_fwd_rule(images, fid, x, y, active):
-    return _rows_fwd(images, fid, x, y, active)
+def _rows_bwd(res, g):
+    ddx, ddy = res
+    return (None, None, g * ddx, g * ddy, None)
 
 
 bicubic_sample_rows.defvjp(_rows_fwd_rule, _rows_bwd)
