@@ -519,6 +519,49 @@ def _call_fwdgrad(meta, rloc, ty, c0, tx, img_hi, img_lo, grid_len, nchunks, w):
     )(meta, rloc, ty, c0, tx, img_hi, img_hi, img_hi, img_lo, img_lo, img_lo)
 
 
+# scalar-prefetch operands live in SMEM (~1 MB budget): the [4, nchunks]
+# int32 meta caps a single pallas_call at ~65k chunks. Larger problems are
+# processed in SEGMENTS of this many chunks, each with its own locally
+# indexed meta (the bench's 21k chunks stay a single call).
+SEG_CHUNKS = 24576
+
+
+def _seg_run(call, outs_zero, r0, act, seg, khpad, h):
+    """Run the multi-pass window machinery on one chunk segment.
+
+    `call(meta, rloc, grid_len, seg_chunks) -> tuple of [seg_chunks+1,1,CHUNK]`
+    wraps the kernel; `outs_zero` is a tuple of [seg_chunks·CHUNK] zeros that
+    accumulates selected lanes across passes."""
+    cap = _cap(seg)
+
+    def merge(state, meta, rloc, hit_base, grid_len):
+        outs, remaining = state
+        res = call(meta, rloc, grid_len)
+        hit = remaining & hit_base
+        outs = tuple(
+            jnp.where(hit, r[:seg].reshape(-1), o) for o, r in zip(outs, res)
+        )
+        return outs, remaining & ~hit_base
+
+    state = (outs_zero, act)
+    for _ in range(_num_passes(h)):
+        meta, rloc, hit_base = _pass_meta(r0, state[1], seg, khpad, cap)
+        state = merge(state, meta, rloc, hit_base, cap or seg)
+
+    # capacity/window fallback: full-grid passes until nothing remains —
+    # normally zero iterations (the cond on `remaining` fails immediately)
+    def body(state):
+        meta, rloc, hit_base = _pass_meta(r0, state[1], seg, khpad)
+        return merge(state, meta, rloc, hit_base, seg)
+
+    (outs, _) = jax.lax.while_loop(lambda s: jnp.any(s[1]), body, state)
+    return outs
+
+
+def _segments(nchunks):
+    return [(s, min(s + SEG_CHUNKS, nchunks)) for s in range(0, nchunks, SEG_CHUNKS)]
+
+
 @jax.custom_vjp
 def bicubic_sample_rows(images, fid, x, y, active):
     """Masked bicubic sampling for FRAME-UNIFORM chunks (see module note):
@@ -532,24 +575,26 @@ def _rows_fwd(images, fid, x, y, active):
     img_hi, img_lo, khpad, act, r0, ty, c0, tx, nchunks, m, h, w = _win_prep(
         images, fid, x, y, active
     )
-    cap = _cap(nchunks)
-    out = jnp.zeros(nchunks * CHUNK, jnp.float32)
-    remaining = act
-    for _ in range(_num_passes(h)):
-        meta, rloc, hit_base = _pass_meta(r0, remaining, nchunks, khpad, cap)
-        pout = _call_fwd(meta, rloc, ty, c0, tx, img_hi, img_lo, cap or nchunks, nchunks, w)
-        out = jnp.where(remaining & hit_base, pout[:nchunks].reshape(-1), out)
-        remaining = remaining & ~hit_base
-    # capacity/window fallback: full-grid passes until nothing remains —
-    # normally zero iterations (the cond on `remaining` fails immediately)
-    def body(carry):
-        out, remaining = carry
-        meta, rloc, hit_base = _pass_meta(r0, remaining, nchunks, khpad)
-        pout = _call_fwd(meta, rloc, ty, c0, tx, img_hi, img_lo, nchunks, nchunks, w)
-        out = jnp.where(remaining & hit_base, pout[:nchunks].reshape(-1), out)
-        return out, remaining & ~hit_base
+    pieces = []
+    for s0, s1 in _segments(nchunks):
+        seg = s1 - s0
+        e0, e1 = s0 * CHUNK, s1 * CHUNK
 
-    out, _ = jax.lax.while_loop(lambda c: jnp.any(c[1]), body, (out, remaining))
+        def call(meta, rloc, grid_len, s0=s0, s1=s1, seg=seg):
+            return (
+                _call_fwd(
+                    meta, rloc, ty[s0:s1], c0[s0:s1], tx[s0:s1],
+                    img_hi, img_lo, grid_len, seg, w,
+                ),
+            )
+
+        (seg_out,) = _seg_run(
+            call,
+            (jnp.zeros(seg * CHUNK, jnp.float32),),
+            r0[e0:e1], act[e0:e1], seg, khpad, h,
+        )
+        pieces.append(seg_out)
+    out = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces)
     return out[:m], (images, fid, x, y, active)
 
 
@@ -559,34 +604,28 @@ def _rows_fwd_rule(images, fid, x, y, active):
     img_hi, img_lo, khpad, act, r0, ty, c0, tx, nchunks, m, h, w = _win_prep(
         images, fid, x, y, active
     )
-    cap = _cap(nchunks)
-    out = jnp.zeros(nchunks * CHUNK, jnp.float32)
-    ddx = jnp.zeros(nchunks * CHUNK, jnp.float32)
-    ddy = jnp.zeros(nchunks * CHUNK, jnp.float32)
+    pieces = []
+    for s0, s1 in _segments(nchunks):
+        seg = s1 - s0
+        e0, e1 = s0 * CHUNK, s1 * CHUNK
 
-    def merge(state, meta, rloc, hit_base, grid_len):
-        out, ddx, ddy, remaining = state
-        po, px, py = _call_fwdgrad(
-            meta, rloc, ty, c0, tx, img_hi, img_lo, grid_len, nchunks, w
+        def call(meta, rloc, grid_len, s0=s0, s1=s1, seg=seg):
+            return _call_fwdgrad(
+                meta, rloc, ty[s0:s1], c0[s0:s1], tx[s0:s1],
+                img_hi, img_lo, grid_len, seg, w,
+            )
+
+        z = jnp.zeros(seg * CHUNK, jnp.float32)
+        pieces.append(
+            _seg_run(
+                call, (z, z, z),
+                r0[e0:e1], act[e0:e1], seg, khpad, h,
+            )
         )
-        hit = remaining & hit_base
-        out = jnp.where(hit, po[:nchunks].reshape(-1), out)
-        ddx = jnp.where(hit, px[:nchunks].reshape(-1), ddx)
-        ddy = jnp.where(hit, py[:nchunks].reshape(-1), ddy)
-        return out, ddx, ddy, remaining & ~hit_base
-
-    state = (out, ddx, ddy, act)
-    for _ in range(_num_passes(h)):
-        meta, rloc, hit_base = _pass_meta(r0, state[3], nchunks, khpad, cap)
-        state = merge(state, meta, rloc, hit_base, cap or nchunks)
-
-    def body(state):
-        meta, rloc, hit_base = _pass_meta(r0, state[3], nchunks, khpad)
-        return merge(state, meta, rloc, hit_base, nchunks)
-
-    out, ddx, ddy, _ = jax.lax.while_loop(
-        lambda s: jnp.any(s[3]), body, state
-    )
+    if len(pieces) == 1:
+        out, ddx, ddy = pieces[0]
+    else:
+        out, ddx, ddy = (jnp.concatenate(p) for p in zip(*pieces))
     in_x = (x >= 1.0) & (x < w - 2.001)
     in_y = (y >= 1.0) & (y < h - 2.001)
     ddx = jnp.where(in_x, ddx[:m], 0.0)

@@ -166,3 +166,30 @@ def test_handrolled_linearization(prob, block_problem):
     # the production tangent samples through the Pallas bf16x3 kernel while
     # the oracle stack (masked=False) samples in f32 — allow the quantization
     np.testing.assert_allclose(got_eg, want_eg, rtol=2e-2, atol=8e-3)
+
+
+def test_tall_images_multipass_window():
+    """Images taller than one sampler window (H > 252 ⇒ 2 windowed passes)
+    through the full masked block residual stack: must match the f32 XLA
+    oracle within the bf16x3 sampler quantization."""
+    tall = build_sphere_problem(
+        voxel_size=0.02,
+        image_size=(96, 320),
+        num_frames=2,
+        num_observations=2,
+        perturb_sdf=0.002,
+        perturb_albedo=0.05,
+    )
+    asm, masks = tall.assemble()
+    layout = BlockLayout.build(tall.grid, block=4)
+    bparams, basm, bmasks = blockform.to_block_problem(
+        layout, tall.topo.coords, asm, masks, tall.params
+    )
+    r_pallas = np.asarray(blockform.block_all_residuals(bparams, basm, masked=True))
+    r_oracle = np.asarray(blockform.block_all_residuals(bparams, basm, masked=False))
+    np.testing.assert_allclose(r_pallas, r_oracle, atol=6e-3)
+
+    # and a full GN step converges identically through the windowed vjp
+    out_b = gn_iteration(bparams, basm, bmasks, jnp.float32(1e-4), lm_steps=3, cg_iters=6)
+    out_t = gn_iteration(tall.params, asm, masks, jnp.float32(1e-4), lm_steps=3, cg_iters=6)
+    np.testing.assert_allclose(float(out_b[2]), float(out_t[2]), rtol=1e-3)

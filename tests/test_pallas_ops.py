@@ -197,3 +197,28 @@ def test_windowed_sampler_inactive_rows_are_zero():
     act = act.at[1].set(0.0)  # whole frame row inactive -> chunks skipped
     got = catrom_sample_frames(images, fid, x, y, active=act, frame_major=True)
     np.testing.assert_array_equal(np.asarray(got)[1], 0.0)
+
+
+def test_windowed_sampler_segmented(monkeypatch):
+    """Chunk segmentation (SMEM meta budget): force tiny segments and check
+    forward + gradient still match the XLA sampler across segment seams."""
+    import jax
+    from intrinsic3d_tpu.ops.pallas import bicubic
+    from intrinsic3d_tpu.refine.residuals import catrom_sample_frames
+
+    monkeypatch.setattr(bicubic, "SEG_CHUNKS", 2)
+    images, fid, x, y, act = _frame_major_problem(3, 40, 48, 5 * bicubic.CHUNK + 11)
+    ref = catrom_sample_frames(images, fid, x, y)
+    got = catrom_sample_frames(images, fid, x, y, active=act, frame_major=True)
+    a = np.asarray(act) > 0
+    np.testing.assert_allclose(np.asarray(got)[a], np.asarray(ref)[a], atol=5e-3)
+
+    def loss(kw):
+        return lambda xy: jnp.sum(
+            jnp.sin(catrom_sample_frames(images, fid, xy[0], xy[1], **kw)) * act
+        )
+
+    gw = jax.grad(loss(dict(active=act, frame_major=True)))((x, y))
+    gr = jax.grad(loss({}))((x, y))
+    np.testing.assert_allclose(np.asarray(gw[0]), np.asarray(gr[0]), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(gw[1]), np.asarray(gr[1]), atol=2e-2)
