@@ -14,12 +14,12 @@ express:
 - **an analytic 2-dot backward** (custom_vjp): d/dx and d/dy re-use the same
   one-hot structure with derivative weights — no checkpoint replay and no
   saved `[nchunks, chunk, K·H]` residuals (73 GB OOM in the naive vjp);
-- **per-chunk row windows** (`bicubic_sample_rows`, the production path for
-  the frame-major block layout): the scalar-prefetch array also carries a
-  window block index that the image BlockSpec index maps consume, so each
-  chunk DMAs only a 3×128-row window of the HBM image stack — the row-select
-  dots shrink from `[chunk, K·H]` to three `[chunk, 128]` segments (~5x
-  fewer MACs at K·H=1920) and the stack never needs to fit in VMEM.
+- **one-frame windows** (`bicubic_sample_rows`, the production path for
+  the frame-major block layout): the scalar-prefetch array also carries the
+  chunk's frame id, which the image BlockSpec index map consumes, so each
+  chunk DMAs only ITS FRAME from the HBM stack — the row-select dots shrink
+  from `[chunk, K·H]` to `[chunk, H]` (8x fewer MACs at K=8) and the stack
+  never needs to fit in VMEM (one frame does, at any realistic size).
 
 `bicubic_sample` (full-width, VMEM-resident stack) remains for callers whose
 fid patterns are not chunk-uniform; it requires K·H small enough for VMEM.
@@ -249,31 +249,27 @@ bicubic_sample.defvjp(_fwd_rule, _bwd)
 
 
 # ---------------------------------------------------------------------------
-# Row-windowed variant: frame-uniform chunks + per-chunk image window
+# Row-windowed variant: frame-uniform chunks + one-frame image windows
 # ---------------------------------------------------------------------------
 #
 # When every CHUNK of elements samples a SINGLE keyframe (the frame-major
-# block layout, refine/blockform.py), the row one-hot only needs the rows a
-# chunk can actually touch: a 3×128-row window of the flattened image stack,
-# selected per chunk by a scalar-prefetch-driven BlockSpec index map (Pallas
-# DMAs the window from HBM and skips the fetch when consecutive chunks share
-# it). This cuts the dominant `[chunk, K·H] @ [K·H, W]` row-select dots to
-# `[chunk, 128] @ [128, W]` segments — the images never need to fit in VMEM,
-# so there is no K·H ceiling — and images taller than one window are handled
-# by statically-unrolled extra passes over the not-yet-covered elements
-# (zero-cost when unused: their chunks are all skipped).
+# block layout, refine/blockform.py), the row one-hot only needs that
+# frame's rows: the window BlockSpec block is EXACTLY ONE FRAME (rows padded
+# to a 16-multiple `hpad`), selected per chunk by a scalar-prefetch-driven
+# index map carrying the frame id (Pallas DMAs the frame from HBM and skips
+# the fetch when consecutive chunks share it). This cuts the dominant
+# `[chunk, K·H] @ [K·H, W]` row-select dots to `[chunk, hpad] @ [hpad, W]`
+# — the image stack never needs to fit in VMEM (one frame does: ~1-8 MB at
+# any realistic resolution), so there is no K·H ceiling, and every
+# frame-uniform element is in-window on the FIRST pass by construction.
 #
 # CONTRACT: within each CHUNK-aligned run of elements all `fid` values must
 # be equal (callers pad the slot axis of `[K, D]` element arrays to a CHUNK
-# multiple). Violations are NOT detected: elements beyond the pass budget
-# silently produce 0.
-
-WB = 128  # window block rows (one BlockSpec block)
-NSEG = 3  # window blocks per pass
-WIN = WB * NSEG
+# multiple). Violations are handled exactly but slowly: leftover elements
+# resolve through while-loop fallback passes (one frame per pass).
 
 
-def _win_specs(w: int):
+def _win_specs(hpad: int, w: int):
     # every data movement is driven by the scalar-prefetch meta so that runs
     # of SKIPPED chunks cost (almost) nothing: their per-element fetch maps
     # to block meta[2,i]=0 and their output to a shared trash block
@@ -282,24 +278,11 @@ def _win_specs(w: int):
     row_i = pl.BlockSpec(
         (1, 1, CHUNK), lambda i, meta: (meta[2, i], 0, 0), memory_space=pltpu.VMEM
     )
-
-    def wspec(j):
-        return pl.BlockSpec((WB, w), lambda i, meta, j=j: (meta[1, i] + j, 0))
-
-    img_specs = [wspec(j) for j in range(NSEG)]
+    img_specs = [pl.BlockSpec((hpad, w), lambda i, meta: (meta[1, i], 0))]
     out = pl.BlockSpec(
         (1, 1, CHUNK), lambda i, meta: (meta[3, i], 0, 0), memory_space=pltpu.VMEM
     )
     return row_i, img_specs, out
-
-
-def _win_cat(whs, wls):
-    """Concat the NSEG window blocks into one [WIN, W] bf16 pair (cheap VPU
-    copies that let the row mix run as ONE [rows, WIN] @ [WIN, W] dot per
-    bf16 product instead of 3 segment dots — better MXU utilization)."""
-    wh = jnp.concatenate([r[:] for r in whs], axis=0)
-    wl = jnp.concatenate([r[:] for r in wls], axis=0)
-    return wh, wl
 
 
 def _bf16x3(sel, wh, wl):
@@ -311,17 +294,15 @@ def _bf16x3(sel, wh, wl):
     return dot(s_hi, wh) + dot(s_hi, wl) + dot(s_lo, wh)
 
 
-def _win_fwd_kernel(meta_ref, rloc_ref, ty_ref, c0_ref, tx_ref, *refs):
-    (w0h, w1h, w2h, w0l, w1l, w2l, out_ref) = refs
-
+def _win_fwd_kernel(meta_ref, rloc_ref, ty_ref, c0_ref, tx_ref, wh, wl, out_ref):
     @pl.when(meta_ref[0, pl.program_id(0)] > 0)
     def _():
         rloc = rloc_ref[0, 0, :]
-        inw = ((rloc >= 0) & (rloc <= WIN - 4)).astype(jnp.float32)
-        wy = tuple(w * inw for w in _catrom_w(ty_ref[0, 0, :]))
-        wh, wl = _win_cat((w0h, w1h, w2h), (w0l, w1l, w2l))
-        a = _bf16x3(_onehot_rows(rloc, wy, WIN), wh, wl)
-        colw = _onehot_rows(c0_ref[0, 0, :], _catrom_w(tx_ref[0, 0, :]), w0h.shape[1])
+        win = wh.shape[0]
+        inw = ((rloc >= 0) & (rloc <= win - 4)).astype(jnp.float32)
+        wy = tuple(v * inw for v in _catrom_w(ty_ref[0, 0, :]))
+        a = _bf16x3(_onehot_rows(rloc, wy, win), wh[:], wl[:])
+        colw = _onehot_rows(c0_ref[0, 0, :], _catrom_w(tx_ref[0, 0, :]), wh.shape[1])
         out_ref[0, 0, :] = jnp.sum(a * colw, axis=-1)
     # skipped chunks write NOTHING: their out block is the shared trash row
     # and the caller masks every lane it consumes with `hit`
@@ -333,25 +314,25 @@ def _win_fwdgrad_kernel(meta_ref, rloc_ref, ty_ref, c0_ref, tx_ref, *refs):
     emitting them here makes the backward a pure elementwise `g·ddx` with no
     kernel at all — 6 window dots total instead of 3 (fwd) + 6 (bwd), and
     the row selections are built once."""
-    (w0h, w1h, w2h, w0l, w1l, w2l, out_ref, ddx_ref, ddy_ref) = refs
+    (wh, wl, out_ref, ddx_ref, ddy_ref) = refs
 
     @pl.when(meta_ref[0, pl.program_id(0)] > 0)
     def _():
         rloc = rloc_ref[0, 0, :]
         ty = ty_ref[0, 0, :]
         tx = tx_ref[0, 0, :]
-        w = w0h.shape[1]
+        w = wh.shape[1]
+        win = wh.shape[0]
         n = rloc.shape[0]
-        inw = ((rloc >= 0) & (rloc <= WIN - 4)).astype(jnp.float32)
+        inw = ((rloc >= 0) & (rloc <= win - 4)).astype(jnp.float32)
         wy = tuple(v * inw for v in _catrom_w(ty))
         dwy = tuple(v * inw for v in _catrom_dw(ty))
-        wh, wl = _win_cat((w0h, w1h, w2h), (w0l, w1l, w2l))
-        # stack the value and d/dty row selections into ONE [2·chunk, WIN]
+        # stack the value and d/dty row selections into ONE [2·chunk, win]
         # operand — half the dot dispatches of two separate row mixes
         sel2 = jnp.concatenate(
-            [_onehot_rows(rloc, wy, WIN), _onehot_rows(rloc, dwy, WIN)], axis=0
+            [_onehot_rows(rloc, wy, win), _onehot_rows(rloc, dwy, win)], axis=0
         )
-        a2 = _bf16x3(sel2, wh, wl)  # [2·chunk, W]
+        a2 = _bf16x3(sel2, wh[:], wl[:])  # [2·chunk, W]
         a, a_dy = a2[:n], a2[n:]
         colw = _onehot_rows(c0_ref[0, 0, :], _catrom_w(tx), w)
         out_ref[0, 0, :] = jnp.sum(a * colw, axis=-1)
@@ -362,9 +343,11 @@ def _win_fwdgrad_kernel(meta_ref, rloc_ref, ty_ref, c0_ref, tx_ref, *refs):
 
 
 def _num_passes(h: int) -> int:
-    # each pass covers ≥ WIN − WB + 1 rows past the remaining minimum (worst
-    # WB-alignment), and a frame-uniform chunk spans ≤ h + 2 rows
-    return max(1, -(-(h + 4) // (WIN - WB)))
+    # the window is one whole frame, so every frame-uniform chunk is fully
+    # in-window on the first pass; mixed-frame chunks (contract violations)
+    # resolve through the callers' while-loop fallback, one frame per pass
+    del h
+    return 1
 
 
 def _win_prep(images, fid, x, y, active):
@@ -390,18 +373,20 @@ def _win_prep(images, fid, x, y, active):
     def chunked(a):
         return a.reshape(nchunks, 1, CHUNK)
 
-    khpad = max(-(-(k * h) // WB) * WB, NSEG * WB)
-    imgflat = images.reshape(k * h, w)
-    if khpad > k * h:
-        imgflat = jnp.pad(imgflat, ((0, khpad - k * h), (0, 0)))
-    img_hi, img_lo = _split_bf16(imgflat)
+    # pad each frame's rows to a 16-multiple (bf16 sublane tile) so the
+    # window block is exactly one frame at block index `fid`
+    hpad = -(-h // 16) * 16
+    if hpad > h:
+        images = jnp.pad(images, ((0, 0), (0, hpad - h), (0, 0)))
+        r0 = fid * hpad + y0 - 1
+    img_hi, img_lo = _split_bf16(images.reshape(k * hpad, w))
 
     act = padded(active if active is not None else jnp.ones(m, jnp.float32))
     r0 = padded(r0)
     return (
         img_hi,
         img_lo,
-        khpad,
+        hpad,
         act > 0.0,
         r0,
         chunked(ty.astype(jnp.float32)),
@@ -428,7 +413,7 @@ def _ffill(vals, valid):
     return filled
 
 
-def _pass_meta(r0, remaining, nchunks, khpad, cap=None):
+def _pass_meta(r0, remaining, nchunks, hpad, kframes, cap=None):
     """Per-pass scalar-prefetch meta: (activity, window block index,
     per-element fetch index, output block index) per GRID STEP.
 
@@ -444,12 +429,12 @@ def _pass_meta(r0, remaining, nchunks, khpad, cap=None):
     this pass definitely computed."""
     r0c = r0.reshape(nchunks, CHUNK)
     remc = remaining.reshape(nchunks, CHUNK)
-    rmin = jnp.min(jnp.where(remc, r0c, khpad), axis=1)
-    wb = jnp.clip(rmin // WB, 0, khpad // WB - NSEG)
+    rmin = jnp.min(jnp.where(remc, r0c, jnp.int32(2**30)), axis=1)
+    wb = jnp.clip(rmin // hpad, 0, kframes - 1)  # = the chunk's frame id
     anyrem = jnp.any(remc, axis=1)
     wb = _ffill(wb, anyrem)
-    rloc = r0 - jnp.repeat(wb * WB, CHUNK)
-    in_win = (rloc >= 0) & (rloc <= WIN - 4)
+    rloc = r0 - jnp.repeat(wb * hpad, CHUNK)
+    in_win = (rloc >= 0) & (rloc <= hpad - 4)
     if cap is None:
         idx = jnp.arange(nchunks, dtype=jnp.int32)
         meta = jnp.stack(
@@ -486,8 +471,8 @@ def _cap(nchunks: int):
     return None
 
 
-def _call_fwd(meta, rloc, ty, c0, tx, img_hi, img_lo, grid_len, nchunks, w):
-    row_i, img_specs, out_s = _win_specs(w)
+def _call_fwd(meta, rloc, ty, c0, tx, img_hi, img_lo, grid_len, nchunks, hpad, w):
+    row_i, img_specs, out_s = _win_specs(hpad, w)
     return pl.pallas_call(
         _win_fwd_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -499,11 +484,11 @@ def _call_fwd(meta, rloc, ty, c0, tx, img_hi, img_lo, grid_len, nchunks, w):
         out_shape=jax.ShapeDtypeStruct((nchunks + 1, 1, CHUNK), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(meta, rloc, ty, c0, tx, img_hi, img_hi, img_hi, img_lo, img_lo, img_lo)
+    )(meta, rloc, ty, c0, tx, img_hi, img_lo)
 
 
-def _call_fwdgrad(meta, rloc, ty, c0, tx, img_hi, img_lo, grid_len, nchunks, w):
-    row_i, img_specs, out_s = _win_specs(w)
+def _call_fwdgrad(meta, rloc, ty, c0, tx, img_hi, img_lo, grid_len, nchunks, hpad, w):
+    row_i, img_specs, out_s = _win_specs(hpad, w)
     shp = jax.ShapeDtypeStruct((nchunks + 1, 1, CHUNK), jnp.float32)
     return pl.pallas_call(
         _win_fwdgrad_kernel,
@@ -516,7 +501,7 @@ def _call_fwdgrad(meta, rloc, ty, c0, tx, img_hi, img_lo, grid_len, nchunks, w):
         out_shape=(shp, shp, shp),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(meta, rloc, ty, c0, tx, img_hi, img_hi, img_hi, img_lo, img_lo, img_lo)
+    )(meta, rloc, ty, c0, tx, img_hi, img_lo)
 
 
 # scalar-prefetch operands live in SMEM (~1 MB budget): the [4, nchunks]
@@ -526,7 +511,7 @@ def _call_fwdgrad(meta, rloc, ty, c0, tx, img_hi, img_lo, grid_len, nchunks, w):
 SEG_CHUNKS = 24576
 
 
-def _seg_run(call, outs_zero, r0, act, seg, khpad, h):
+def _seg_run(call, outs_zero, r0, act, seg, hpad, kframes):
     """Run the multi-pass window machinery on one chunk segment.
 
     `call(meta, rloc, grid_len, seg_chunks) -> tuple of [seg_chunks+1,1,CHUNK]`
@@ -544,14 +529,14 @@ def _seg_run(call, outs_zero, r0, act, seg, khpad, h):
         return outs, remaining & ~hit_base
 
     state = (outs_zero, act)
-    for _ in range(_num_passes(h)):
-        meta, rloc, hit_base = _pass_meta(r0, state[1], seg, khpad, cap)
+    for _ in range(_num_passes(0)):
+        meta, rloc, hit_base = _pass_meta(r0, state[1], seg, hpad, kframes, cap)
         state = merge(state, meta, rloc, hit_base, cap or seg)
 
-    # capacity/window fallback: full-grid passes until nothing remains —
+    # mixed-frame fallback: full-grid passes until nothing remains —
     # normally zero iterations (the cond on `remaining` fails immediately)
     def body(state):
-        meta, rloc, hit_base = _pass_meta(r0, state[1], seg, khpad)
+        meta, rloc, hit_base = _pass_meta(r0, state[1], seg, hpad, kframes)
         return merge(state, meta, rloc, hit_base, seg)
 
     (outs, _) = jax.lax.while_loop(lambda s: jnp.any(s[1]), body, state)
@@ -572,9 +557,10 @@ def bicubic_sample_rows(images, fid, x, y, active):
 
 
 def _rows_fwd(images, fid, x, y, active):
-    img_hi, img_lo, khpad, act, r0, ty, c0, tx, nchunks, m, h, w = _win_prep(
+    img_hi, img_lo, hpad, act, r0, ty, c0, tx, nchunks, m, h, w = _win_prep(
         images, fid, x, y, active
     )
+    kframes = img_hi.shape[0] // hpad
     pieces = []
     for s0, s1 in _segments(nchunks):
         seg = s1 - s0
@@ -584,14 +570,14 @@ def _rows_fwd(images, fid, x, y, active):
             return (
                 _call_fwd(
                     meta, rloc, ty[s0:s1], c0[s0:s1], tx[s0:s1],
-                    img_hi, img_lo, grid_len, seg, w,
+                    img_hi, img_lo, grid_len, seg, hpad, w,
                 ),
             )
 
         (seg_out,) = _seg_run(
             call,
             (jnp.zeros(seg * CHUNK, jnp.float32),),
-            r0[e0:e1], act[e0:e1], seg, khpad, h,
+            r0[e0:e1], act[e0:e1], seg, hpad, kframes,
         )
         pieces.append(seg_out)
     out = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces)
@@ -601,9 +587,10 @@ def _rows_fwd(images, fid, x, y, active):
 def _rows_fwd_rule(images, fid, x, y, active):
     """vjp forward: the fwdgrad kernel emits the value AND the per-element
     directional derivatives, so the backward is pure elementwise math."""
-    img_hi, img_lo, khpad, act, r0, ty, c0, tx, nchunks, m, h, w = _win_prep(
+    img_hi, img_lo, hpad, act, r0, ty, c0, tx, nchunks, m, h, w = _win_prep(
         images, fid, x, y, active
     )
+    kframes = img_hi.shape[0] // hpad
     pieces = []
     for s0, s1 in _segments(nchunks):
         seg = s1 - s0
@@ -612,14 +599,14 @@ def _rows_fwd_rule(images, fid, x, y, active):
         def call(meta, rloc, grid_len, s0=s0, s1=s1, seg=seg):
             return _call_fwdgrad(
                 meta, rloc, ty[s0:s1], c0[s0:s1], tx[s0:s1],
-                img_hi, img_lo, grid_len, seg, w,
+                img_hi, img_lo, grid_len, seg, hpad, w,
             )
 
         z = jnp.zeros(seg * CHUNK, jnp.float32)
         pieces.append(
             _seg_run(
                 call, (z, z, z),
-                r0[e0:e1], act[e0:e1], seg, khpad, h,
+                r0[e0:e1], act[e0:e1], seg, hpad, kframes,
             )
         )
     if len(pieces) == 1:
