@@ -342,14 +342,6 @@ def _win_fwdgrad_kernel(meta_ref, rloc_ref, ty_ref, c0_ref, tx_ref, *refs):
     # skipped chunks: no writes (trash out block, caller masks with `hit`)
 
 
-def _num_passes(h: int) -> int:
-    # the window is one whole frame, so every frame-uniform chunk is fully
-    # in-window on the first pass; mixed-frame chunks (contract violations)
-    # resolve through the callers' while-loop fallback, one frame per pass
-    del h
-    return 1
-
-
 def _win_prep(images, fid, x, y, active):
     """Shared fwd/bwd prep: pad the image stack to WB-multiple rows (bf16
     hi/lo split) and chunk the per-element sample data."""
@@ -413,20 +405,18 @@ def _ffill(vals, valid):
     return filled
 
 
-def _pass_meta(r0, remaining, nchunks, hpad, kframes, cap=None):
-    """Per-pass scalar-prefetch meta: (activity, window block index,
-    per-element fetch index, output block index) per GRID STEP.
+def _pass_meta(r0, remaining, nchunks, hpad, kframes):
+    """Per-pass scalar-prefetch meta `[4, nchunks]`: (activity, frame id,
+    per-element fetch index, output block index) per grid step.
 
-    With `cap=None` the grid walks all `nchunks` chunks — skipped steps are
-    nearly free: their per-element fetches all map to block 0 and their
-    output to the shared trash block, so Pallas elides the DMAs (measured
-    ~1.3 ms for 21k all-skipped steps vs ~27 ms of active compute). With an
-    integer cap the grid is COMPACTED to the first `cap` chunks that still
-    have remaining elements (`jnp.nonzero(size=cap)`) — measured a net LOSS
-    at this problem scale (the [M]-wide cumsum/nonzero costs more than the
-    skipped steps), kept for callers with extreme sparsity. Returns
-    (meta [4, G], rloc chunks, hit_base [M]) where hit_base marks elements
-    this pass definitely computed."""
+    The grid walks all `nchunks` chunks — skipped steps are nearly free:
+    their per-element fetches all map to block 0 and their output to the
+    shared trash block, so Pallas elides the DMAs (measured ~1.3 ms for a
+    21k-step all-skipped pass vs ~27 ms of active compute; compacting the
+    grid to active chunks via `jnp.nonzero(size=...)` measured net-negative
+    — the [M]-wide bookkeeping costs more than the skipped steps). Returns
+    (meta, rloc chunks, hit_base [M]) where hit_base marks elements this
+    pass definitely computed."""
     r0c = r0.reshape(nchunks, CHUNK)
     remc = remaining.reshape(nchunks, CHUNK)
     rmin = jnp.min(jnp.where(remc, r0c, jnp.int32(2**30)), axis=1)
@@ -435,40 +425,17 @@ def _pass_meta(r0, remaining, nchunks, hpad, kframes, cap=None):
     wb = _ffill(wb, anyrem)
     rloc = r0 - jnp.repeat(wb * hpad, CHUNK)
     in_win = (rloc >= 0) & (rloc <= hpad - 4)
-    if cap is None:
-        idx = jnp.arange(nchunks, dtype=jnp.int32)
-        meta = jnp.stack(
-            [
-                anyrem.astype(jnp.int32),
-                wb.astype(jnp.int32),
-                jnp.where(anyrem, idx, 0),
-                jnp.where(anyrem, idx, nchunks).astype(jnp.int32),
-            ]
-        )
-        covered = anyrem
-    else:
-        count = jnp.sum(anyrem.astype(jnp.int32))
-        (idx,) = jnp.nonzero(anyrem, size=cap, fill_value=0)
-        idx = idx.astype(jnp.int32)
-        slot = jnp.arange(cap, dtype=jnp.int32) < count
-        meta = jnp.stack(
-            [
-                slot.astype(jnp.int32),
-                wb[idx].astype(jnp.int32),
-                jnp.where(slot, idx, 0),
-                jnp.where(slot, idx, nchunks).astype(jnp.int32),
-            ]
-        )
-        rank = jnp.cumsum(anyrem.astype(jnp.int32)) - 1
-        covered = anyrem & (rank < cap)
-    hit_base = in_win & jnp.repeat(covered, CHUNK)
+    idx = jnp.arange(nchunks, dtype=jnp.int32)
+    meta = jnp.stack(
+        [
+            anyrem.astype(jnp.int32),
+            wb.astype(jnp.int32),
+            jnp.where(anyrem, idx, 0),
+            jnp.where(anyrem, idx, nchunks).astype(jnp.int32),
+        ]
+    )
+    hit_base = in_win & jnp.repeat(anyrem, CHUNK)
     return meta, rloc.reshape(nchunks, 1, CHUNK), hit_base
-
-
-def _cap(nchunks: int):
-    # full grid: skipped steps cost ~nothing thanks to the meta-driven DMA
-    # elision; compaction's [M]-wide bookkeeping measured net-negative here
-    return None
 
 
 def _call_fwd(meta, rloc, ty, c0, tx, img_hi, img_lo, grid_len, nchunks, hpad, w):
@@ -512,32 +479,28 @@ SEG_CHUNKS = 24576
 
 
 def _seg_run(call, outs_zero, r0, act, seg, hpad, kframes):
-    """Run the multi-pass window machinery on one chunk segment.
+    """Run the frame-window pass machinery on one chunk segment.
 
-    `call(meta, rloc, grid_len, seg_chunks) -> tuple of [seg_chunks+1,1,CHUNK]`
-    wraps the kernel; `outs_zero` is a tuple of [seg_chunks·CHUNK] zeros that
-    accumulates selected lanes across passes."""
-    cap = _cap(seg)
+    `call(meta, rloc, grid_len) -> tuple of [seg+1, 1, CHUNK]` wraps the
+    kernel; `outs_zero` is a tuple of [seg·CHUNK] zeros that accumulates
+    selected lanes. The window is one whole frame, so every frame-uniform
+    chunk resolves on the first pass; mixed-frame chunks (contract
+    violations) resolve through while-loop fallback passes, one frame per
+    pass — normally zero iterations."""
 
-    def merge(state, meta, rloc, hit_base, grid_len):
+    def merge(state, meta, rloc, hit_base):
         outs, remaining = state
-        res = call(meta, rloc, grid_len)
+        res = call(meta, rloc, seg)
         hit = remaining & hit_base
         outs = tuple(
             jnp.where(hit, r[:seg].reshape(-1), o) for o, r in zip(outs, res)
         )
         return outs, remaining & ~hit_base
 
-    state = (outs_zero, act)
-    for _ in range(_num_passes(0)):
-        meta, rloc, hit_base = _pass_meta(r0, state[1], seg, hpad, kframes, cap)
-        state = merge(state, meta, rloc, hit_base, cap or seg)
+    state = merge((outs_zero, act), *_pass_meta(r0, act, seg, hpad, kframes))
 
-    # mixed-frame fallback: full-grid passes until nothing remains —
-    # normally zero iterations (the cond on `remaining` fails immediately)
     def body(state):
-        meta, rloc, hit_base = _pass_meta(r0, state[1], seg, hpad, kframes)
-        return merge(state, meta, rloc, hit_base, seg)
+        return merge(state, *_pass_meta(r0, state[1], seg, hpad, kframes))
 
     (outs, _) = jax.lax.while_loop(lambda s: jnp.any(s[1]), body, state)
     return outs
