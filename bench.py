@@ -121,10 +121,12 @@ def main():
         # on a remote-tunnel link); fetch everything once at the end
         params, c0, c1, mu, tries = outer_iteration(params, mu)
         tries_list.append(tries)
-    # a VALUE fetch of the last iteration's output is the sync point (the
-    # iterations chain through `params`/`mu` data dependencies)
-    tries_total = sum(int(t) for t in tries_list)
+    # ONE value fetch of the last iteration's output is the sync point (the
+    # iterations chain through `params`/`mu` data dependencies; fetching
+    # every `tries` here would add a serial ~24 ms round trip per element)
+    last_tries = int(tries_list[-1])
     dt = time.perf_counter() - t0
+    tries_total = sum(int(t) for t in tries_list[:-1]) + last_tries
 
     # E_g algebra per GN iteration: 1 linearization + 29-parameter exact
     # Jacobi diagonal + per LM try (2·cg J-products + 1 cost evaluation)

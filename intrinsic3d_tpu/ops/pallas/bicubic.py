@@ -76,19 +76,8 @@ def _split_bf16(a):
 
 
 def _row_mix(img_hi, img_lo, r0, wy4):
-    """Σ_j wy4[j]·image_row[r0+j]: [chunk, W].
-
-    Manual bf16x3 (Mosaic supports only DEFAULT/HIGHEST dot precision, and
-    HIGHEST costs ~6 bf16 passes): split both operands into bf16 hi+lo and
-    take the three dominant products with f32 accumulation — the same ~1e-7
-    relative error as XLA's Precision.HIGH at half the HIGHEST cost."""
-    sel = _onehot_rows(r0, wy4, img_hi.shape[0])
-    s_hi, s_lo = _split_bf16(sel)
-
-    def dot(a, b):
-        return jnp.dot(a, b, preferred_element_type=jnp.float32)
-
-    return dot(s_hi, img_hi[:]) + dot(s_hi, img_lo[:]) + dot(s_lo, img_hi[:])
+    """Σ_j wy4[j]·image_row[r0+j]: [chunk, W] (see `_bf16x3`)."""
+    return _bf16x3(_onehot_rows(r0, wy4, img_hi.shape[0]), img_hi[:], img_lo[:])
 
 
 def _fwd_kernel(act_ref, r0_ref, ty_ref, c0_ref, tx_ref, img_hi_ref, img_lo_ref, out_ref):
@@ -286,6 +275,12 @@ def _win_specs(hpad: int, w: int):
 
 
 def _bf16x3(sel, wh, wl):
+    """`sel @ (wh + wl)` in manual bf16x3: Mosaic supports only
+    DEFAULT/HIGHEST dot precision and HIGHEST costs ~6 bf16 passes, so split
+    the f32 `sel` into bf16 hi+lo and take the three dominant products with
+    f32 accumulation — the same ~1e-7 relative error as XLA's
+    Precision.HIGH at half the HIGHEST cost (the dropped lo·lo term is
+    O(2^-16) relative)."""
     s_hi, s_lo = _split_bf16(sel)
 
     def dot(a, b):

@@ -423,13 +423,17 @@ def to_block_problem(
     d = nb * s
 
     eg_slot = layout.slots_of(np.asarray(asm.eg_vpos))
-    eg_slot = np.where(eg_slot >= 0, eg_slot, 0).astype(np.int64)
 
     # frame-major placement: active element (voxel, frame) → row `frame`
     # (the table assembly already applied the top-N observation cap, and a
-    # voxel observes each keyframe at most once — no collisions)
+    # voxel observes each keyframe at most once — no collisions, PROVIDED
+    # every active element's voxel exists in this layout; a clamped -1 slot
+    # would silently overwrite the real (frame, slot 0) element)
     eg_w_np = np.asarray(asm.eg_w)
     active = eg_w_np > 0.0
+    if np.any(eg_slot[active] < 0):
+        raise ValueError("active E_g element references a voxel outside the block layout")
+    eg_slot = np.where(eg_slot >= 0, eg_slot, 0).astype(np.int64)
     o_cap = int(asm.images.shape[0])
 
     didx = np.asarray(asm.eg_frame)[active].astype(np.int64) * d + eg_slot[active]

@@ -36,6 +36,18 @@ class OptimizeStats:
     costs_before: list
     costs_after: list
     tries: list
+    mus: list = dataclasses.field(default_factory=list)
+
+
+def _log_iter(stats: OptimizeStats, itr: int) -> None:
+    log.info(
+        "   iter %d: cost %.6e -> %.6e (lm tries %d, mu %.2e)",
+        itr,
+        float(stats.costs_before[itr]),
+        float(stats.costs_after[itr]),
+        int(stats.tries[itr]),
+        float(stats.mus[itr]),
+    )
 
 
 def optimize_level(
@@ -140,24 +152,24 @@ def optimize_level(
             params, cost0, cost1, mu, tries = gn_iteration(
                 params, asm, masks, mu, cfg.lm_steps, cg_iters
             )
-        # defer the scalar pulls: a host round trip stalls the device ~24 ms
-        # per dispatch on a remote link (BENCH_NOTES.md); iterations chain
-        # through on-device params/mu, values are fetched after the loop
+        # defer the scalar pulls by ONE iteration: a host round trip stalls
+        # the device ~24 ms per fetch on a remote link (BENCH_NOTES.md), so
+        # iteration i's values are logged after iteration i+1 has been
+        # dispatched — the fetch overlaps device compute instead of gating
+        # it, and mid-level progress/diagnostics are still printed live
         stats.costs_before.append(cost0)
         stats.costs_after.append(cost1)
         stats.tries.append(tries)
+        stats.mus.append(mu)
+        if itr > 0:
+            _log_iter(stats, itr - 1)
 
+    if cfg.iterations > 0:
+        _log_iter(stats, cfg.iterations - 1)
     stats.costs_before = [float(c) for c in stats.costs_before]
     stats.costs_after = [float(c) for c in stats.costs_after]
     stats.tries = [int(t) for t in stats.tries]
-    for itr in range(cfg.iterations):
-        log.info(
-            "   iter %d: cost %.6e -> %.6e (lm tries %d)",
-            itr,
-            stats.costs_before[itr],
-            stats.costs_after[itr],
-            stats.tries[itr],
-        )
+    stats.mus = [float(m) for m in stats.mus]
 
     if use_blocks:
         params = params_from_block(layout, bparams)

@@ -111,9 +111,9 @@ def catrom_sample_frames(images, fid, x, y, active=None, frame_major=False):
 
     `frame_major=True` (requires 2-D `[K, D]` batches whose row k samples
     only keyframe k, the block layout of refine/blockform.py) additionally
-    opts into the row-WINDOWED kernel: each 512-element chunk fetches a
-    3×128-row window of the image stack from HBM instead of holding all
-    K·H rows in VMEM — ~5x fewer row-select MACs and no K·H ceiling."""
+    opts into the frame-WINDOWED kernel: each 512-element chunk fetches
+    only ITS FRAME of the image stack from HBM instead of holding all
+    K·H rows in VMEM — K× fewer row-select MACs and no K·H ceiling."""
     k, h, w = images.shape
     scalar = jnp.ndim(x) == 0
     x = jnp.clip(x, 1.0, w - 2.001)
@@ -291,9 +291,8 @@ def eg_core(sdf10, alb4, pose6, intr4, dist5, sh9, vpos3, fid, images, pyr_scale
         fid4 = jnp.concatenate([fid] * 4, axis=0)
         act4 = None if active is None else jnp.concatenate([active] * 4, axis=0)
         lum = catrom_sample_frames(images, fid4, us, vs, active=act4, frame_major=frame_major)
+        # splitting the 4-site concat along axis 0 restores each site's shape
         lums = list(jnp.split(lum, 4, axis=0))
-        if lums[0].shape != valid.shape:
-            lums = [l.reshape(valid.shape) for l in lums]
     lum4 = jnp.stack(lums, axis=-1)
     sh4 = jnp.stack(shadings, axis=-1)
     d = (sh4[..., 1:] - sh4[..., :1]) - (lum4[..., 1:] - lum4[..., :1])

@@ -222,3 +222,26 @@ def test_windowed_sampler_segmented(monkeypatch):
     gr = jax.grad(loss({}))((x, y))
     np.testing.assert_allclose(np.asarray(gw[0]), np.asarray(gr[0]), atol=2e-2)
     np.testing.assert_allclose(np.asarray(gw[1]), np.asarray(gr[1]), atol=2e-2)
+
+
+def test_windowed_sampler_mixed_frame_fallback():
+    """Contract-violating chunks (mixed fids within one CHUNK) must still
+    produce exact values through the while-loop fallback passes."""
+    from intrinsic3d_tpu.ops.pallas.bicubic import CHUNK, bicubic_sample_rows
+    from intrinsic3d_tpu.refine.residuals import catrom_sample_frames
+
+    rng = np.random.default_rng(7)
+    k, h, w = 4, 40, 48
+    m = 3 * CHUNK
+    images = jnp.asarray(rng.random((k, h, w), dtype=np.float32))
+    # deliberately interleave frames WITHIN chunks
+    fid = jnp.asarray(rng.integers(0, k, m).astype(np.int32))
+    x = jnp.asarray(rng.uniform(0.0, w, m).astype(np.float32))
+    y = jnp.asarray(rng.uniform(0.0, h, m).astype(np.float32))
+    act = jnp.asarray((rng.random(m) < 0.5).astype(np.float32))
+
+    got = np.asarray(bicubic_sample_rows(images, fid, x, y, act))
+    ref = np.asarray(catrom_sample_frames(images, fid, x, y))
+    a = np.asarray(act) > 0
+    np.testing.assert_allclose(got[a], ref[a], atol=5e-3)
+    np.testing.assert_array_equal(got[~a], 0.0)
