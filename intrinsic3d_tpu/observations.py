@@ -166,3 +166,54 @@ def recolor(
     has = wsum > 0.0
     out = acc / jnp.maximum(wsum, 1e-12)[:, None]
     return jnp.where(has[:, None], out, 0.0), has
+
+
+def compute_observations_batch(
+    cam: Camera,
+    poses,  # [K, 6]
+    depths,  # [K, H, W]
+    iso_pts,  # [D, 3]
+    normals,  # [D, 3]
+    occlusion_distance: float,
+    active=None,  # [K, D] float, 0 ⇒ weight not needed (chunks skipped)
+):
+    """All-frames observation weights `[K, D]` — semantically
+    `vmap(compute_observation)` over keyframes, but the per-voxel depth
+    visibility lookup runs through the frame-windowed nearest-pixel Pallas
+    kernel instead of a scattered gather (the dominant cost of the device
+    assembly, BENCH_NOTES.md). Rows of the [K, D] layout are frame-uniform
+    by construction, which is the kernel's contract."""
+    from intrinsic3d_tpu.ops.pallas.bicubic import CHUNK, nearest_sample_rows
+
+    k = poses.shape[0]
+    d = iso_pts.shape[0]
+    pt = jax.vmap(lambda p: transform_points(p, iso_pts))(poses)  # [K, D, 3]
+    uv, valid = project(cam, pt)
+    ui = jnp.floor(uv[..., 0] + 0.5).astype(jnp.int32)
+    vi = jnp.floor(uv[..., 1] + 0.5).astype(jnp.int32)
+    uic = jnp.clip(ui, 0, cam.width - 1)
+    vic = jnp.clip(vi, 0, cam.height - 1)
+
+    act = jnp.ones((k, d), jnp.float32) if active is None else active
+    dpad = (-d) % CHUNK  # keep sampler chunks frame-uniform
+
+    def padded(a):
+        return jnp.pad(a, ((0, 0), (0, dpad))) if dpad else a
+
+    fid = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[:, None], (k, d))
+    depth = nearest_sample_rows(
+        depths,
+        padded(fid).reshape(-1),
+        padded(vic).reshape(-1),
+        padded(uic).reshape(-1),
+        padded(act).reshape(-1),
+    ).reshape(k, d + dpad)[:, :d]
+
+    visible = jnp.where(
+        occlusion_distance > 0.0,
+        (depth > 0.0) & (jnp.abs(depth - pt[..., 2]) <= occlusion_distance),
+        True,
+    )
+    n_cam = jax.vmap(lambda p: transform_points(p.at[3:].set(0.0), normals))(poses)
+    w = observation_weight(pt, n_cam, depth)
+    return jnp.where(valid & visible & (depth > 0.0) & (act > 0.0), w, 0.0)

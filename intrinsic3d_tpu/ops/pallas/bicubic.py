@@ -400,7 +400,7 @@ def _ffill(vals, valid):
     return filled
 
 
-def _pass_meta(r0, remaining, nchunks, hpad, kframes):
+def _pass_meta(r0, remaining, nchunks, hpad, kframes, taps=4):
     """Per-pass scalar-prefetch meta `[4, nchunks]`: (activity, frame id,
     per-element fetch index, output block index) per grid step.
 
@@ -419,7 +419,7 @@ def _pass_meta(r0, remaining, nchunks, hpad, kframes):
     anyrem = jnp.any(remc, axis=1)
     wb = _ffill(wb, anyrem)
     rloc = r0 - jnp.repeat(wb * hpad, CHUNK)
-    in_win = (rloc >= 0) & (rloc <= hpad - 4)
+    in_win = (rloc >= 0) & (rloc <= hpad - taps)  # taps=1 for nearest lookup
     idx = jnp.arange(nchunks, dtype=jnp.int32)
     meta = jnp.stack(
         [
@@ -473,7 +473,7 @@ def _call_fwdgrad(meta, rloc, ty, c0, tx, img_hi, img_lo, grid_len, nchunks, hpa
 SEG_CHUNKS = 24576
 
 
-def _seg_run(call, outs_zero, r0, act, seg, hpad, kframes):
+def _seg_run(call, outs_zero, r0, act, seg, hpad, kframes, taps=4):
     """Run the frame-window pass machinery on one chunk segment.
 
     `call(meta, rloc, grid_len) -> tuple of [seg+1, 1, CHUNK]` wraps the
@@ -492,10 +492,10 @@ def _seg_run(call, outs_zero, r0, act, seg, hpad, kframes):
         )
         return outs, remaining & ~hit_base
 
-    state = merge((outs_zero, act), *_pass_meta(r0, act, seg, hpad, kframes))
+    state = merge((outs_zero, act), *_pass_meta(r0, act, seg, hpad, kframes, taps))
 
     def body(state):
-        return merge(state, *_pass_meta(r0, state[1], seg, hpad, kframes))
+        return merge(state, *_pass_meta(r0, state[1], seg, hpad, kframes, taps))
 
     (outs, _) = jax.lax.while_loop(lambda s: jnp.any(s[1]), body, state)
     return outs
@@ -584,3 +584,93 @@ def _rows_bwd(res, g):
 
 
 bicubic_sample_rows.defvjp(_rows_fwd_rule, _rows_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Nearest-pixel lookup (frame-windowed): the depth visibility probe
+# ---------------------------------------------------------------------------
+#
+# Observation collection reads depth[fid, yi, xi] per (keyframe, voxel)
+# element — a scattered gather at the ~130M elements/s ceiling (≈27 ms per
+# assembly at bench scale). Single-tap one-hot weights are exact in bf16,
+# so the frame-window machinery does the same lookup on the MXU with just
+# hi+lo dots; only the hi+lo image split's O(2^-16) relative error remains
+# (~0.1 mm at 5 m depth — far below the 0.02 m occlusion threshold). Same frame-uniformity contract as
+# `bicubic_sample_rows`; not differentiable (the visibility probe is data).
+
+
+def _nearest_kernel(meta_ref, rloc_ref, c0_ref, wh, wl, out_ref):
+    @pl.when(meta_ref[0, pl.program_id(0)] > 0)
+    def _():
+        rloc = rloc_ref[0, 0, :]
+        win = wh.shape[0]
+        n = rloc.shape[0]
+        inw = ((rloc >= 0) & (rloc < win)).astype(jnp.float32)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (n, win), 1)
+        sel = jnp.where(iota == rloc[:, None], inw[:, None], 0.0).astype(jnp.bfloat16)
+
+        def dot(a, b):
+            return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+        a = dot(sel, wh[:]) + dot(sel, wl[:])  # sel entries are exactly 0/1
+        c0 = c0_ref[0, 0, :]
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (n, wh.shape[1]), 1)
+        colw = jnp.where(iota_w == c0[:, None], 1.0, 0.0)
+        out_ref[0, 0, :] = jnp.sum(a * colw, axis=-1)
+    # skipped chunks: no writes (trash out block, caller masks with `hit`)
+
+
+def nearest_sample_rows(images, fid, yi, xi, active):
+    """`images[fid, yi, xi]` per element (frame-uniform chunks): `images
+    [K,H,W]`, int32 `fid/yi/xi [M]` pre-clipped to bounds, `active [M]`
+    (0 ⇒ output 0). Images stream from HBM one frame per chunk."""
+    k, h, w = images.shape
+    m = yi.shape[0]
+    nchunks = -(-m // CHUNK)
+    pad = nchunks * CHUNK - m
+
+    def padded(a, fill=0):
+        return jnp.pad(a, (0, pad), constant_values=fill) if pad else a
+
+    hpad = -(-h // 16) * 16
+    if hpad > h:
+        images = jnp.pad(images, ((0, 0), (0, hpad - h), (0, 0)))
+    img_hi, img_lo = _split_bf16(images.reshape(k * hpad, w))
+
+    r0 = padded(fid * hpad + yi)
+    c0 = padded(xi).reshape(nchunks, 1, CHUNK)
+    act = padded(active) > 0.0
+    out = jnp.zeros(nchunks * CHUNK, jnp.float32)
+
+    row_i, img_specs, out_s = _win_specs(hpad, w)
+
+    def call(meta, rloc, s0, s1, seg):
+        return pl.pallas_call(
+            _nearest_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(seg,),
+                in_specs=[row_i, row_i] + img_specs * 2,
+                out_specs=out_s,
+            ),
+            out_shape=jax.ShapeDtypeStruct((seg + 1, 1, CHUNK), jnp.float32),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=_interpret(),
+        )(meta, rloc, c0[s0:s1], img_hi, img_lo)
+
+    pieces = []
+    for s0, s1 in _segments(nchunks):
+        seg = s1 - s0
+        e0, e1 = s0 * CHUNK, s1 * CHUNK
+
+        def seg_call(meta, rloc, grid_len, s0=s0, s1=s1, seg=seg):
+            return (call(meta, rloc, s0, s1, seg),)
+
+        (seg_out,) = _seg_run(
+            seg_call,
+            (jnp.zeros(seg * CHUNK, jnp.float32),),
+            r0[e0:e1], act[e0:e1], seg, hpad, k, taps=1,
+        )
+        pieces.append(seg_out)
+    out = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces)
+    return out[:m]

@@ -33,7 +33,7 @@ import numpy as np
 from intrinsic3d_tpu.camera import Camera
 from intrinsic3d_tpu.grid.blocks import BlockLayout, pad_flat
 from intrinsic3d_tpu.grid.voxel_grid import VoxelGrid
-from intrinsic3d_tpu.observations import compute_observation
+from intrinsic3d_tpu.observations import compute_observations_batch
 from intrinsic3d_tpu.refine.assembly import LevelTopology, chroma_weights
 from intrinsic3d_tpu.refine.blockform import (
     BlockAssembly,
@@ -184,14 +184,17 @@ def device_assembly(
     nflat = normals.reshape(d, 3)
     iso = pts - nflat * sdfr.reshape(d)[:, None]
 
-    def one_frame(pose6, depth):
-        w, _ = compute_observation(cam, pose6, depth, iso, nflat, occlusion_distance)
-        return w
-
-    # vmap, not lax.map: K is small and the per-frame passes are independent —
-    # serializing them left the device underutilized (profiled 29.6 ms; the
-    # batched form fuses into one pass over [K, D])
-    weights = jax.vmap(one_frame)(params.poses, depths)  # [K, D]
+    # batched over all keyframes, with the depth visibility probe running
+    # through the frame-windowed nearest-pixel Pallas kernel instead of a
+    # scattered gather (the dominant assembly cost); weights are only needed
+    # where the E_g gate can pass, so gated-off chunks are skipped
+    eg_gate = (gate & stencil_ok).reshape(d)
+    weights = compute_observations_batch(
+        cam, params.poses, depths, iso, nflat, occlusion_distance,
+        active=jnp.broadcast_to(
+            eg_gate.astype(jnp.float32)[None, :], (params.poses.shape[0], d)
+        ),
+    )  # [K, D]
     # frame-major top-N cap: keep each voxel's num_obs best frames IN PLACE
     # (row = keyframe). Double argsort = per-voxel descending rank with the
     # same tie order as lax.top_k (lower frame index wins).
@@ -203,7 +206,6 @@ def device_assembly(
     w_sdf = jnp.clip(
         1.0 - jnp.minimum(jnp.abs(sdfr), truncation) / truncation, 0.01, 1.0
     ).reshape(d)
-    eg_gate = (gate & stencil_ok).reshape(d)
     eg_w = jnp.where(eg_gate[None, :] & sel, weights * w_sdf[None, :], 0.0)  # [K, D]
 
     # --- E_r / E_s / E_a weights --------------------------------------------

@@ -245,3 +245,52 @@ def test_windowed_sampler_mixed_frame_fallback():
     a = np.asarray(act) > 0
     np.testing.assert_allclose(got[a], ref[a], atol=5e-3)
     np.testing.assert_array_equal(got[~a], 0.0)
+
+
+def test_nearest_lookup_and_batched_observations():
+    """nearest_sample_rows == direct indexing, and compute_observations_batch
+    == vmapped per-frame compute_observation (the reference semantics)."""
+    import jax
+    from intrinsic3d_tpu.camera import Camera
+    from intrinsic3d_tpu.observations import (
+        compute_observation,
+        compute_observations_batch,
+    )
+    from intrinsic3d_tpu.ops.pallas.bicubic import CHUNK, nearest_sample_rows
+
+    rng = np.random.default_rng(11)
+    k, h, w = 3, 37, 53  # h not a 16-multiple: exercises per-frame row padding
+    m = 2 * CHUNK + 5
+    images = jnp.asarray(rng.random((k, h, w), dtype=np.float32))
+    d_per = m // k
+    fid = jnp.repeat(jnp.arange(k, dtype=jnp.int32), d_per)[:m]
+    fid = jnp.pad(fid, (0, m - fid.shape[0]))
+    yi = jnp.asarray(rng.integers(0, h, m).astype(np.int32))
+    xi = jnp.asarray(rng.integers(0, w, m).astype(np.int32))
+    act = jnp.asarray((rng.random(m) < 0.6).astype(np.float32))
+    got = np.asarray(nearest_sample_rows(images, fid, yi, xi, act))
+    ref = np.asarray(images)[np.asarray(fid), np.asarray(yi), np.asarray(xi)]
+    a = np.asarray(act) > 0
+    # hi+lo bf16 reconstruction carries O(2^-16) relative error — far below
+    # the 0.02 m occlusion threshold this lookup feeds
+    np.testing.assert_allclose(got[a], ref[a], atol=1e-4)
+    np.testing.assert_array_equal(got[~a], 0.0)
+
+    # batched observations vs the per-frame oracle
+    cam = Camera.create(60.0, 60.0, 31.5, 23.5, 64, 48)
+    nvox = 700
+    iso = jnp.asarray(rng.uniform(-0.2, 0.2, (nvox, 3)).astype(np.float32))
+    iso = iso.at[:, 2].add(0.6)
+    normals = rng.normal(size=(nvox, 3)).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    normals = jnp.asarray(normals)
+    poses = jnp.asarray(rng.normal(0, 0.05, (3, 6)).astype(np.float32))
+    depths = jnp.asarray(rng.uniform(0.3, 1.0, (3, 48, 64)).astype(np.float32))
+    got_w = compute_observations_batch(cam, poses, depths, iso, normals, 0.5)
+    want_w = jnp.stack(
+        [
+            compute_observation(cam, poses[i], depths[i], iso, normals, 0.5)[0]
+            for i in range(3)
+        ]
+    )
+    np.testing.assert_allclose(np.asarray(got_w), np.asarray(want_w), atol=1e-5)
