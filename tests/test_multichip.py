@@ -93,3 +93,53 @@ def test_sharded_block_gn_step_matches_single_device(problem):
     np.testing.assert_allclose(
         np.asarray(out[0].sdf), np.asarray(ref_params.sdf), atol=5e-4
     )
+
+
+def test_windowed_sampler_under_shard_map():
+    """The frame-windowed Pallas sampler runs PER-SHARD under shard_map with
+    elements sharded along the slot axis and images replicated — the wrapper
+    pattern real multi-chip SPMD needs (ARCHITECTURE.md 'Known limitation');
+    values and gradients must match the unsharded call."""
+    import jax
+    from functools import partial
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from intrinsic3d_tpu.ops.pallas.bicubic import CHUNK
+    from intrinsic3d_tpu.parallel.sharding import make_mesh
+    from intrinsic3d_tpu.refine.residuals import catrom_sample_frames
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(3)
+    k, h, w = 2, 40, 48
+    d = 8 * 2 * CHUNK  # per-shard slot count stays CHUNK-aligned
+    images = jnp.asarray(rng.random((k, h, w), dtype=np.float32))
+    x = jnp.asarray(rng.uniform(0.0, w, (k, d)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(0.0, h, (k, d)).astype(np.float32))
+    fid = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[:, None], (k, d))
+    act = jnp.asarray((rng.random((k, d)) < 0.4).astype(np.float32))
+
+    def sample(images, fid, x, y, act):
+        return catrom_sample_frames(images, fid, x, y, active=act, frame_major=True)
+
+    sharded = jax.jit(
+        jax.shard_map(
+            sample,
+            mesh=mesh,
+            in_specs=(P(), P(None, "data"), P(None, "data"), P(None, "data"), P(None, "data")),
+            out_specs=P(None, "data"),
+            # pallas_call out_shapes carry no varying-mesh-axes annotation
+            check_vma=False,
+        )
+    )
+    got = np.asarray(sharded(images, fid, x, y, act))
+    want = np.asarray(sample(images, fid, x, y, act))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    # gradients flow through the per-shard custom_vjp identically
+    def loss(f):
+        return lambda xy: jnp.sum(jnp.sin(f(images, fid, xy[0], xy[1], act)) * act)
+
+    gs = jax.grad(loss(lambda *a: sharded(*a)))((x, y))
+    gu = jax.grad(loss(sample))((x, y))
+    np.testing.assert_allclose(np.asarray(gs[0]), np.asarray(gu[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gs[1]), np.asarray(gu[1]), atol=1e-5)
