@@ -34,6 +34,29 @@ def run(sensor, cfg: KeyframesConfig, batch: int = 16) -> KeyframeSelection:
     return sel
 
 
+def export_keyframes(sensor, sel: KeyframeSelection, out_dir: str) -> None:
+    """Headless equivalent of the reference's interactive `show_keyframes`
+    viewer (``app_keyframes.cpp:128-141`` + ``keyframe_selection.cpp:129-136``):
+    export each selected keyframe with its blur score drawn, as PNGs."""
+    import os
+
+    from PIL import Image, ImageDraw
+
+    os.makedirs(out_dir or ".", exist_ok=True)
+    for i, is_kf in enumerate(sel.is_keyframe):
+        if not is_kf:
+            continue
+        rgb = np.asarray(sensor.color(i))
+        if rgb.dtype != np.uint8:
+            rgb = (np.clip(rgb, 0.0, 1.0) * 255).astype(np.uint8)
+        img = Image.fromarray(rgb)
+        draw = ImageDraw.Draw(img)
+        draw.text((10, 38), f"score: {sel.frame_scores[i]:.6f}", fill=(0, 255, 0))
+        path = os.path.join(out_dir or ".", f"keyframe_{i:06d}.png")
+        img.save(path)
+        log.info("   exported %s", path)
+
+
 def main(argv=None):
     args = make_parser("Blur-score keyframe selection").parse_args(argv)
     setup_logging(args.verbose)
@@ -44,6 +67,10 @@ def main(argv=None):
         ensure_parent(cfg.filename)
         sel.save(cfg.filename)
         log.info("saved %s", cfg.filename)
+    if cfg.show_keyframes:
+        import os
+
+        export_keyframes(sensor, sel, os.path.dirname(cfg.filename))
     return 0
 
 

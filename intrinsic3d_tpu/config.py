@@ -141,12 +141,17 @@ class KeyframesConfig:
 
     window_size: int = 20
     filename: str = "./fusion/keyframes.txt"
+    # the reference's `show_keyframes` opens interactive cv::imshow windows
+    # with the blur score drawn (``app_keyframes.cpp:128-141``); the headless
+    # equivalent exports the annotated keyframes as PNGs next to filename
+    show_keyframes: bool = False
 
     @classmethod
     def from_settings(cls, s: Settings) -> "KeyframesConfig":
         return cls(
             window_size=s.get_int("window_size", 20),
             filename=s.get_str("filename", "./fusion/keyframes.txt"),
+            show_keyframes=s.get_bool("show_keyframes", False),
         )
 
 

@@ -162,3 +162,33 @@ def test_intrinsic3d_app_outputs(ran_pipeline):
 
     poses, ts = load_poses(str(out / "poses_g0_p0.txt"))
     assert len(poses) == 9
+
+
+def test_show_keyframes_export(dataset):
+    """`show_keyframes: 1` exports score-annotated keyframe PNGs (the
+    headless equivalent of the reference's cv::imshow viewer)."""
+    import os
+
+    from intrinsic3d_tpu.apps import app_keyframes
+
+    (dataset / "keyframes_show.yml").write_text(
+        '%YAML:1.0\nwindow_size: "3"\nfilename: "./fusion/keyframes.txt"\n'
+        'show_keyframes: "1"\n'
+    )
+    cwd = os.getcwd()
+    try:
+        rc = app_keyframes.main(
+            ["-s", str(dataset / "sensor.yml"), "-c", str(dataset / "keyframes_show.yml")]
+        )
+    finally:
+        os.chdir(cwd)
+    assert rc == 0
+    from intrinsic3d_tpu.keyframes import KeyframeSelection
+
+    sel = KeyframeSelection.load(str(dataset / "fusion/keyframes.txt"))
+    exported = sorted((dataset / "fusion").glob("keyframe_*.png"))
+    assert len(exported) == sel.count() > 0
+    from PIL import Image
+
+    im = np.asarray(Image.open(exported[0]))
+    assert im.ndim == 3 and im.shape[2] == 3
