@@ -78,3 +78,40 @@ def test_device_assembly_matches_host(prob):
     np.testing.assert_allclose(
         np.asarray(out_d[0].sdf), np.asarray(out_h[0].sdf), rtol=5e-3, atol=5e-6
     )
+
+
+def test_device_assembly_frozen_albedo(prob):
+    """lambda_a < 0 fixes albedo (``optimizer.cpp:330-334``): the GN step
+    must leave albedo bit-identical while still reducing the cost."""
+    layout = BlockLayout.build(prob.grid)
+    st = build_level_static(layout, prob.grid, prob.topo, prob.voxel_sh)
+    sdf_plan, alb_plan = blockform.layout_plans(layout)
+    bp = prob.params._replace(
+        sdf=blockform.table_to_dense(layout, prob.params.sdf),
+        albedo=blockform.table_to_dense(layout, prob.params.albedo),
+    )
+    cfg = prob.cfg
+    basm, bm = device_assembly(
+        st,
+        sdf_plan,
+        alb_plan,
+        bp,
+        prob.depths,
+        prob.images,
+        jnp.float32(1.0),
+        jnp.float32(prob.grid.voxel_size),
+        jnp.float32(prob.grid.truncation),
+        jnp.float32(prob.thres_shell),
+        jnp.float32(cfg.occlusion_distance),
+        jnp.asarray([cfg.lambda_g, 10.0, 10.0, -1.0], jnp.float32),
+        num_obs=2,
+        width=prob.images.shape[2],
+        height=prob.images.shape[1],
+        use_albedo=False,
+    )
+    assert float(jnp.sum(jnp.abs(bm.albedo))) == 0.0  # albedo mask all-fixed
+    assert float(basm.lam[3]) == 0.0  # negative lambda_a contributes no E_a
+    out = gn_iteration(bp, basm, bm, jnp.float32(1e-4), lm_steps=3, cg_iters=6)
+    p1, c0, c1, _, _ = out
+    assert float(c1) < float(c0)
+    np.testing.assert_array_equal(np.asarray(p1.albedo), np.asarray(bp.albedo))
