@@ -237,6 +237,11 @@ class RefinementConfig:
     fix_poses: bool = False
     fix_intrinsics: bool = False
     fix_distortion: bool = False
+    # E_g element layout for the block solver: "auto" buckets elements by
+    # per-frame visible blocks when coverage is partial (many-keyframe
+    # scenes), "always"/"never" force it (no reference equivalent — the
+    # TPU-side answer to Ceres' per-residual sparsity)
+    frame_bucketing: str = "auto"
 
     output_mesh_prefix: str = ""
     output_mesh_normals: bool = False
@@ -285,6 +290,7 @@ class RefinementConfig:
             fix_poses=s.get_bool("fix_poses", d.fix_poses),
             fix_intrinsics=s.get_bool("fix_intrinsics", d.fix_intrinsics),
             fix_distortion=s.get_bool("fix_distortion", d.fix_distortion),
+            frame_bucketing=s.get_str("frame_bucketing", d.frame_bucketing),
             output_mesh_prefix=s.get_str("output_mesh_prefix", d.output_mesh_prefix),
             output_mesh_normals=s.get_bool("output_mesh_normals", d.output_mesh_normals),
             output_mesh_laplacian=s.get_bool("output_mesh_laplacian", d.output_mesh_laplacian),

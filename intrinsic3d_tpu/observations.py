@@ -172,8 +172,8 @@ def compute_observations_batch(
     cam: Camera,
     poses,  # [K, 6]
     depths,  # [K, H, W]
-    iso_pts,  # [D, 3]
-    normals,  # [D, 3]
+    iso_pts,  # [D, 3] shared, or [K, E, 3] per-row (frame-bucketed elements)
+    normals,  # [D, 3] or [K, E, 3], matching iso_pts
     occlusion_distance: float,
     active=None,  # [K, D] float, 0 ⇒ weight not needed (chunks skipped)
 ):
@@ -182,12 +182,23 @@ def compute_observations_batch(
     visibility lookup runs through the frame-windowed nearest-pixel Pallas
     kernel instead of a scattered gather (the dominant cost of the device
     assembly, BENCH_NOTES.md). Rows of the [K, D] layout are frame-uniform
-    by construction, which is the kernel's contract."""
+    by construction, which is the kernel's contract.
+
+    3-D `iso_pts`/`normals` give each keyframe row its own point set — the
+    frame-bucketed element layout of refine/blockform.py, where row k holds
+    only the slots of frame k's visible blocks."""
     from intrinsic3d_tpu.ops.pallas.bicubic import CHUNK, nearest_sample_rows
 
     k = poses.shape[0]
-    d = iso_pts.shape[0]
-    pt = jax.vmap(lambda p: transform_points(p, iso_pts))(poses)  # [K, D, 3]
+    d = iso_pts.shape[-2]
+    if iso_pts.ndim == 3:
+        pt = jax.vmap(transform_points)(poses, iso_pts)  # [K, E, 3]
+        n_cam = jax.vmap(lambda p, nn: transform_points(p.at[3:].set(0.0), nn))(
+            poses, normals
+        )
+    else:
+        pt = jax.vmap(lambda p: transform_points(p, iso_pts))(poses)  # [K, D, 3]
+        n_cam = jax.vmap(lambda p: transform_points(p.at[3:].set(0.0), normals))(poses)
     uv, valid = project(cam, pt)
     ui = jnp.floor(uv[..., 0] + 0.5).astype(jnp.int32)
     vi = jnp.floor(uv[..., 1] + 0.5).astype(jnp.int32)
@@ -214,6 +225,5 @@ def compute_observations_batch(
         (depth > 0.0) & (jnp.abs(depth - pt[..., 2]) <= occlusion_distance),
         True,
     )
-    n_cam = jax.vmap(lambda p: transform_points(p.at[3:].set(0.0), normals))(poses)
     w = observation_weight(pt, n_cam, depth)
     return jnp.where(valid & visible & (depth > 0.0) & (act > 0.0), w, 0.0)

@@ -137,6 +137,9 @@ def shard_block_problem(bparams, basm, bmasks, mesh: Mesh, axis: str = "data"):
         eg_w=put(basm.eg_w, row1),
         eg_sh=put(basm.eg_sh, row1),
         eg_vpos=put(basm.eg_vpos, row1),
+        # frame buckets replicate (block-row index table, small); the bucketed
+        # element fields still shard along their slot axis
+        bmap=None if basm.bmap is None else put(basm.bmap, rep),
         sdf_plan=jax.tree_util.tree_map(lambda x: put(x, rep), basm.sdf_plan),
         alb_plan=jax.tree_util.tree_map(lambda x: put(x, rep), basm.alb_plan),
         er_w=put(basm.er_w, row),

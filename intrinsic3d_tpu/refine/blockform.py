@@ -38,7 +38,7 @@ path (kept as the equivalence oracle).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -63,10 +63,21 @@ class BlockAssembly(NamedTuple):
     """Static per-outer-iteration problem data in flat block-dense layout.
 
     E_g elements are dense FRAME-MAJOR over (keyframe, block-slot):
-    `[K, nb·B³]` — the keyframe index of an element IS its row index."""
+    `[K, nb·B³]` — the keyframe index of an element IS its row index.
 
-    eg_w: jnp.ndarray  # [K, D] observation·shell weight (0 = inactive)
-    eg_sh: jnp.ndarray  # [9, D] per-voxel interpolated SH coefficients
+    With `bmap` set (FRAME-BUCKETED layout, for scenes whose keyframe count K
+    far exceeds the per-voxel observation cap — BENCH_NOTES "K ≫ num_obs"),
+    row k's columns cover only the NBc blocks of frame k's visibility bucket:
+    element (k, j·B³+s) is the observation of block `bmap[k, j]`'s slot s by
+    keyframe k, so `eg_w` is `[K, NBc·B³]` and every per-element stencil/
+    per-voxel value is fetched by a BLOCK-ROW gather `field[:, bmap, :]`
+    (contiguous 2 KB rows — not per-element gathers). `bmap` padding entries
+    equal `nb` and index the all-zero pad row of `[nb+1, B³]` fields, so
+    padded columns carry weight 0 by construction. Rows stay frame-uniform,
+    preserving the windowed Pallas sampler's chunk contract (B³ = CHUNK)."""
+
+    eg_w: jnp.ndarray  # [K, D] (or [K, NBc·B³]) observation·shell weight (0 = inactive)
+    eg_sh: jnp.ndarray  # [9, D] per-voxel interpolated SH coefficients (per-slot)
     eg_vpos: jnp.ndarray  # [3, D] int32 voxel coords (0 on empty slots)
     # stencil shift plans (one-hot matmul decompositions)
     sdf_plan: ShiftPlan
@@ -81,6 +92,8 @@ class BlockAssembly(NamedTuple):
     images: jnp.ndarray  # [K, H, W]
     pyr_scale: jnp.ndarray
     voxel_size: jnp.ndarray
+    # frame buckets: [K, NBc] int32 visible-block rows (pad = nb), or None
+    bmap: Optional[jnp.ndarray] = None
 
 
 def _fid_rows(k: int, d: int) -> jnp.ndarray:
@@ -89,18 +102,25 @@ def _fid_rows(k: int, d: int) -> jnp.ndarray:
 
 
 def _eg_dense(params_pose_intr_dist, sdf10, alb4, asm: BlockAssembly, validity_only=False, masked=False):
-    """Dense E_g forward: all arguments per (keyframe, slot) element."""
+    """Dense E_g forward: all arguments per (keyframe, slot/bucket) element."""
     poses, intr, dist = params_pose_intr_dist
     k, d = asm.eg_w.shape
     pose6 = jnp.broadcast_to(poses[:, None, :], (k, d, 6))
+    if asm.bmap is None:
+        sh9 = jnp.broadcast_to(asm.eg_sh.T[None], (k, d, 9))
+        vpos = jnp.broadcast_to(asm.eg_vpos.T[None], (k, d, 3))
+    else:
+        s = asm.er_w.shape[1]
+        sh9 = _perslot_bucket(asm.eg_sh, asm.bmap, s)
+        vpos = _perslot_bucket(asm.eg_vpos, asm.bmap, s)
     r = eg_core(
         sdf10,
         alb4,
         pose6,
         intr,
         dist,
-        jnp.broadcast_to(asm.eg_sh.T[None], (k, d, 9)),
-        jnp.broadcast_to(asm.eg_vpos.T[None], (k, d, 3)),
+        sh9,
+        vpos,
         _fid_rows(k, d),
         asm.images,
         asm.pyr_scale,
@@ -119,6 +139,58 @@ def _stencil_dense(sh: jnp.ndarray, t: int, k: int) -> jnp.ndarray:
     return jnp.broadcast_to(stack[None], (k, d, t))
 
 
+# ---------------------------------------------------------------------------
+# Frame-bucketed element transport (bmap is not None)
+# ---------------------------------------------------------------------------
+#
+# All per-element data movement is at BLOCK-ROW granularity: gathers and
+# scatter-adds move contiguous B³-lane rows keyed by `bmap [K, NBc]` — the
+# layout never touches the ~130M elements/s scattered-access ceiling
+# (BENCH_NOTES.md "Layout lessons").
+
+
+def _pad_rows(stack: jnp.ndarray) -> jnp.ndarray:
+    """`[T, nb, S]` → `[T, nb+1, S]` with an all-zero pad row (bmap target)."""
+    return jnp.pad(stack, ((0, 0), (0, 1), (0, 0)))
+
+
+def _stencil_bucket(sh: jnp.ndarray, t: int, bmap: jnp.ndarray) -> jnp.ndarray:
+    """`[T', nb, B³]` shifted stack → bucketed per-element rows [K, NBc·B³, t]."""
+    s = sh.shape[2]
+    k, nbc = bmap.shape
+    g = _pad_rows(sh[:t])[:, bmap, :]  # [t, K, NBc, S]
+    return jnp.moveaxis(g.reshape(t, k, nbc * s), 0, -1)
+
+
+def _stencil_for(asm: BlockAssembly, sh: jnp.ndarray, t: int) -> jnp.ndarray:
+    """Per-element stencil rows in the assembly's element layout."""
+    if asm.bmap is None:
+        return _stencil_dense(sh, t, asm.eg_w.shape[0])
+    return _stencil_bucket(sh, t, asm.bmap)
+
+
+def _perslot_bucket(field: jnp.ndarray, bmap: jnp.ndarray, s: int = 512) -> jnp.ndarray:
+    """Per-slot `[C, nb·B³]` field → bucketed per-element rows [K, NBc·B³, C]
+    (`s` = B³ = 512 for the production B=8 blocks)."""
+    k, nbc = bmap.shape
+    c = field.shape[0]
+    g = _pad_rows(field.reshape(c, -1, s))[:, bmap, :]  # [C, K, NBc, S]
+    return jnp.moveaxis(g.reshape(c, k, nbc * s), 0, -1)
+
+
+def _unbucket(vals: jnp.ndarray, bmap: jnp.ndarray, nb: int, s: int) -> jnp.ndarray:
+    """`[F, K, NBc·S]` bucketed cotangents → `[F, nb, S]` per-slot sums.
+
+    ONE scatter-add of K·NBc contiguous (F·S)-lane rows keyed by bmap
+    (duplicate block rows across frames accumulate; padding rows land on the
+    dropped pad row)."""
+    f, k, e = vals.shape
+    nbc = e // s
+    v = jnp.moveaxis(vals.reshape(f, k * nbc, s), 0, 1).reshape(k * nbc, f * s)
+    out = jnp.zeros((nb + 1, f * s), vals.dtype).at[bmap.reshape(-1)].add(v)
+    return jnp.moveaxis(out[:-1].reshape(nb, f, s), 1, 0)
+
+
 def block_all_residuals(params: Params, asm: BlockAssembly, masked: bool = True) -> jnp.ndarray:
     """Concatenated weighted residual vector — identical energy to
     `residuals.all_residuals` on the equivalent table assembly (rows appear
@@ -127,14 +199,13 @@ def block_all_residuals(params: Params, asm: BlockAssembly, masked: bool = True)
 
     `masked=True` routes the image sampling through the Pallas masked kernel
     (reverse-mode only); pass False on paths that `jax.linearize`/jvp."""
-    o = asm.eg_w.shape[0]
     sh = asm.sdf_plan.apply(params.sdf)  # [13, nb, B³]
     sha = asm.alb_plan.apply(params.albedo)  # [7, nb, B³]
 
     r_g = _eg_dense(
         (params.poses, params.intr, params.dist),
-        _stencil_dense(sh, 10, o),
-        _stencil_dense(sha, 4, o),
+        _stencil_for(asm, sh, 10),
+        _stencil_for(asm, sha, 4),
         asm,
         masked=masked,
     ).reshape(-1)
@@ -209,12 +280,19 @@ def linearize_block(params: Params, asm: BlockAssembly) -> Tuple[jnp.ndarray, Bl
     sha = asm.alb_plan.apply(params.albedo)  # [7, nb, B³]
 
     # --- E_g: value + exact per-element Jacobian in one reverse pass --------
-    sdf10 = _stencil_dense(sh, 10, o) + 0.0  # materialize as vjp inputs
-    alb4 = _stencil_dense(sha, 4, o) + 0.0
+    sdf10 = _stencil_for(asm, sh, 10) + 0.0  # materialize as vjp inputs
+    alb4 = _stencil_for(asm, sha, 4) + 0.0
     pose6 = jnp.broadcast_to(params.poses[:, None, :], (o, d, 6)) + 0.0
     intr_e = jnp.broadcast_to(params.intr, (o, d, 4))
     dist_e = jnp.broadcast_to(params.dist, (o, d, 5))
     sqrt_wlam = jnp.sqrt(asm.eg_w * asm.lam[0])
+    if asm.bmap is None:
+        sh9 = jnp.broadcast_to(asm.eg_sh.T[None], (o, d, 9))
+        vpos = jnp.broadcast_to(asm.eg_vpos.T[None], (o, d, 3))
+    else:
+        s_blk = asm.er_w.shape[1]
+        sh9 = _perslot_bucket(asm.eg_sh, asm.bmap, s_blk)
+        vpos = _perslot_bucket(asm.eg_vpos, asm.bmap, s_blk)
 
     def _eg_weighted(s10, a4, p6, it4, ds5):
         return sqrt_wlam * eg_core(
@@ -223,8 +301,8 @@ def linearize_block(params: Params, asm: BlockAssembly) -> Tuple[jnp.ndarray, Bl
             p6,
             it4,
             ds5,
-            jnp.broadcast_to(asm.eg_sh.T[None], (o, d, 9)),
-            jnp.broadcast_to(asm.eg_vpos.T[None], (o, d, 3)),
+            sh9,
+            vpos,
             _fid_rows(o, d),
             asm.images,
             asm.pyr_scale,
@@ -276,8 +354,13 @@ def jv_block(lin: BlockLin, asm: BlockAssembly, v: Params):
 
     sh = asm.sdf_plan.apply(v.sdf)
     sha = asm.alb_plan.apply(v.albedo)
-    shf = sh[:10].reshape(10, 1, nb * s)
-    shaf = sha[:4].reshape(4, 1, nb * s)
+    if asm.bmap is None:
+        shf = sh[:10].reshape(10, 1, nb * s)
+        shaf = sha[:4].reshape(4, 1, nb * s)
+    else:
+        k, nbc = asm.bmap.shape
+        shf = _pad_rows(sh[:10])[:, asm.bmap, :].reshape(10, k, nbc * s)
+        shaf = _pad_rows(sha[:4])[:, asm.bmap, :].reshape(4, k, nbc * s)
 
     y_g = jnp.sum(lin.a_sdf * shf, axis=0)
     y_g = y_g + jnp.sum(lin.a_alb * shaf, axis=0)
@@ -306,7 +389,10 @@ def jtv_block(lin: BlockLin, asm: BlockAssembly, y) -> Params:
     s = lin.r0_r.shape[1]
 
     # sdf cotangent stack over the plan's 13 offsets
-    q = jnp.sum(lin.a_sdf * y_g[None], axis=1).reshape(10, nb, s)
+    if asm.bmap is None:
+        q = jnp.sum(lin.a_sdf * y_g[None], axis=1).reshape(10, nb, s)
+    else:
+        q = _unbucket(lin.a_sdf * y_g[None], asm.bmap, nb, s)
     cot = [q[j] for j in range(10)] + [
         jnp.zeros((nb, s), jnp.float32) for _ in range(len(asm.sdf_plan.offsets) - 10)
     ]
@@ -316,7 +402,10 @@ def jtv_block(lin: BlockLin, asm: BlockAssembly, y) -> Params:
     cot[c] = cot[c] + lin.sq_es * y_s
     g_sdf = asm.sdf_plan.apply_transpose(jnp.stack(cot))
 
-    qa = jnp.sum(lin.a_alb * y_g[None], axis=1).reshape(4, nb, s)
+    if asm.bmap is None:
+        qa = jnp.sum(lin.a_alb * y_g[None], axis=1).reshape(4, nb, s)
+    else:
+        qa = _unbucket(lin.a_alb * y_g[None], asm.bmap, nb, s)
     cot_a = [qa[j] for j in range(4)] + [
         jnp.zeros((nb, s), jnp.float32) for _ in range(len(asm.alb_plan.offsets) - 4)
     ]
@@ -340,7 +429,10 @@ def diag_from_lin(lin: BlockLin, asm: BlockAssembly) -> Params:
     nb = lin.r0_r.shape[0]
     s = lin.r0_r.shape[1]
 
-    q2 = jnp.sum(lin.a_sdf * lin.a_sdf, axis=1).reshape(10, nb, s)
+    if asm.bmap is None:
+        q2 = jnp.sum(lin.a_sdf * lin.a_sdf, axis=1).reshape(10, nb, s)
+    else:
+        q2 = _unbucket(lin.a_sdf * lin.a_sdf, asm.bmap, nb, s)
     cot = [q2[j] for j in range(10)] + [
         jnp.zeros((nb, s), jnp.float32) for _ in range(len(asm.sdf_plan.offsets) - 10)
     ]
@@ -350,7 +442,10 @@ def diag_from_lin(lin: BlockLin, asm: BlockAssembly) -> Params:
     cot[c] = cot[c] + lin.sq_es * lin.sq_es
     d_sdf = asm.sdf_plan.apply_transpose(jnp.stack(cot))
 
-    qa2 = jnp.sum(lin.a_alb * lin.a_alb, axis=1).reshape(4, nb, s)
+    if asm.bmap is None:
+        qa2 = jnp.sum(lin.a_alb * lin.a_alb, axis=1).reshape(4, nb, s)
+    else:
+        qa2 = _unbucket(lin.a_alb * lin.a_alb, asm.bmap, nb, s)
     cot_a = [qa2[j] for j in range(4)] + [
         jnp.zeros((nb, s), jnp.float32) for _ in range(len(asm.alb_plan.offsets) - 4)
     ]
@@ -366,6 +461,77 @@ def diag_from_lin(lin: BlockLin, asm: BlockAssembly) -> Params:
     d_intr = jnp.einsum("akn->a", lin.a_intr * lin.a_intr)
     d_dist = jnp.einsum("akn->a", lin.a_dist * lin.a_dist)
     return Params(d_sdf, d_alb, d_pose, d_intr, d_dist)
+
+
+# ---------------------------------------------------------------------------
+# Frame bucket construction
+# ---------------------------------------------------------------------------
+
+
+def build_frame_buckets(
+    layout: BlockLayout,
+    poses6: np.ndarray,  # [K, 6] world→cam angle-axis + t
+    intr4: np.ndarray,  # [4] fx fy cx cy at the target pyramid level
+    width: int,
+    height: int,
+    voxel_size: float,
+    margin_px: float = 48.0,
+    round_to: int = 8,
+) -> np.ndarray:
+    """Per-frame visible-block lists from block-AABB frustum projection.
+
+    Host-side, once per (grid, pyramid) level: block k's bucket is every
+    block whose 8 voxel-AABB corners project (pinhole, no distortion) into
+    the image rect inflated by `margin_px` — the margin absorbs distortion,
+    the iso-projection offset (≤ truncation), and pose drift across the
+    level's outer iterations. Conservative by construction: a block
+    straddling the z≈0 plane is always included. Observations outside the
+    bucket are geometrically impossible (they cannot project in-bounds), so
+    the bucketed energy equals the dense frame-major energy.
+
+    Returns `bmap [K, NBc] int32` (padding = num_blocks, the pad row)."""
+    from intrinsic3d_tpu.mathutil import pose_vec_to_matrix
+
+    nb = layout.num_blocks
+    b = layout.block
+    fx, fy, cx, cy = (float(v) for v in np.asarray(intr4, np.float64))
+    lo = np.asarray(layout.block_coords, np.float64) * b * voxel_size
+    sel = np.array(
+        [[i & 1, (i >> 1) & 1, (i >> 2) & 1] for i in range(8)], np.float64
+    )  # [8, 3] ∈ {0,1}
+    corners = lo[:, None, :] + sel[None, :, :] * (b * voxel_size)  # [nb, 8, 3]
+
+    buckets = []
+    for pose in np.asarray(poses6, np.float64):
+        t_mat = pose_vec_to_matrix(pose)
+        pc = corners @ np.asarray(t_mat)[:3, :3].T + np.asarray(t_mat)[:3, 3]
+        z = pc[..., 2]
+        front = z > 1e-4
+        any_front = np.any(front, axis=1)
+        straddle = any_front & np.any(~front, axis=1)
+        zs = np.where(front, z, 1.0)
+        u = fx * pc[..., 0] / zs + cx
+        v = fy * pc[..., 1] / zs + cy
+        big = 1e18
+        u_min = np.min(np.where(front, u, big), axis=1)
+        u_max = np.max(np.where(front, u, -big), axis=1)
+        v_min = np.min(np.where(front, v, big), axis=1)
+        v_max = np.max(np.where(front, v, -big), axis=1)
+        in_rect = (
+            (u_max >= -margin_px)
+            & (u_min <= width - 1 + margin_px)
+            & (v_max >= -margin_px)
+            & (v_min <= height - 1 + margin_px)
+        )
+        buckets.append(np.flatnonzero((any_front & in_rect) | straddle))
+
+    nbc = max((len(bk) for bk in buckets), default=1)
+    nbc = max(round_to, -(-max(nbc, 1) // round_to) * round_to)
+    nbc = min(nbc, max(round_to, -(-nb // round_to) * round_to))
+    bmap = np.full((len(buckets), nbc), nb, np.int32)
+    for k, bk in enumerate(buckets):
+        bmap[k, : min(len(bk), nbc)] = bk[:nbc]
+    return bmap
 
 
 # ---------------------------------------------------------------------------
@@ -407,6 +573,7 @@ def to_block_problem(
     masks,
     params: Params,
     num_obs: int = 0,
+    bucket: bool = False,
 ) -> Tuple[Params, BlockAssembly, object]:
     """Convert a flat-table problem (from `assembly.build_assembly`) into the
     block-dense form — host-side numpy path, used by tests/benchmarks as the
@@ -416,7 +583,11 @@ def to_block_problem(
 
     `num_obs` is accepted for API stability but unused: the dense layout is
     FRAME-MAJOR `[K, D]` (row = keyframe), so the row capacity is the
-    keyframe count and each active element lands at its (frame, slot)."""
+    keyframe count and each active element lands at its (frame, slot).
+
+    `bucket=True` emits the FRAME-BUCKETED layout instead: per-frame block
+    lists built exactly from the active elements (the production pipeline
+    builds them from frustum projection, `build_frame_buckets`)."""
     del num_obs
     s = layout.block**3
     nb = layout.num_blocks
@@ -436,9 +607,28 @@ def to_block_problem(
     eg_slot = np.where(eg_slot >= 0, eg_slot, 0).astype(np.int64)
     o_cap = int(asm.images.shape[0])
 
-    didx = np.asarray(asm.eg_frame)[active].astype(np.int64) * d + eg_slot[active]
-    eg_w = np.zeros(o_cap * d, np.float32)
-    eg_w[didx] = eg_w_np[active]
+    bmap_j = None
+    if bucket:
+        frames = np.asarray(asm.eg_frame).astype(np.int64)
+        blk = eg_slot // s
+        bks = [np.unique(blk[active & (frames == k)]) for k in range(o_cap)]
+        nbc = max((len(bk) for bk in bks), default=1)
+        nbc = max(8, -(-max(nbc, 1) // 8) * 8)
+        bmap_np = np.full((o_cap, nbc), nb, np.int32)
+        pos = np.full((o_cap, nb + 1), -1, np.int64)
+        for k, bk in enumerate(bks):
+            bmap_np[k, : len(bk)] = bk
+            pos[k, bk] = np.arange(len(bk))
+        af = frames[active]
+        e_cap = nbc * s
+        didx = af * e_cap + pos[af, blk[active]] * s + (eg_slot[active] % s)
+        eg_w = np.zeros((o_cap, e_cap), np.float32)
+        eg_w.reshape(-1)[didx] = eg_w_np[active]
+        bmap_j = jnp.asarray(bmap_np)
+    else:
+        didx = np.asarray(asm.eg_frame)[active].astype(np.int64) * d + eg_slot[active]
+        eg_w = np.zeros((o_cap, d), np.float32)
+        eg_w.reshape(-1)[didx] = eg_w_np[active]
 
     # per-voxel element data (identical across a voxel's observations —
     # scatter from active elements; slots without elements carry weight 0)
@@ -471,7 +661,7 @@ def to_block_problem(
     sdf_plan, alb_plan = layout_plans(layout)
 
     basm = BlockAssembly(
-        eg_w=jnp.asarray(eg_w.reshape(o_cap, d)),
+        eg_w=jnp.asarray(eg_w),
         eg_sh=jnp.asarray(eg_sh),
         eg_vpos=jnp.asarray(eg_vpos),
         sdf_plan=sdf_plan,
@@ -484,6 +674,7 @@ def to_block_problem(
         images=asm.images,
         pyr_scale=asm.pyr_scale,
         voxel_size=asm.voxel_size,
+        bmap=bmap_j,
     )
 
     bparams = params._replace(

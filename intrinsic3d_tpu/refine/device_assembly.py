@@ -40,7 +40,7 @@ from intrinsic3d_tpu.refine.blockform import (
     _PLUS,
     _RING6,
     _eg_dense,
-    _stencil_dense,
+    _stencil_for,
     layout_plans,
     table_to_dense,
 )
@@ -133,8 +133,15 @@ def device_assembly(
     fix_intrinsics: bool = False,
     fix_distortion: bool = False,
     use_albedo: bool = True,
+    bmap: jnp.ndarray | None = None,  # [K, NBc] frame buckets (blockform)
 ) -> Tuple[BlockAssembly, Masks]:
-    """One fully-jitted relinearization assembly (zero host round trips)."""
+    """One fully-jitted relinearization assembly (zero host round trips).
+
+    With `bmap` (from `blockform.build_frame_buckets`) the E_g element grid
+    is FRAME-BUCKETED `[K, NBc·B³]`: observation evaluation, the validity
+    probe, and all element weights are computed only for each frame's
+    visible blocks — the layout that keeps many-keyframe scenes (K ≫
+    num_obs) linear in frustum coverage instead of K × grid size."""
     nb = st.es_ref.shape[0]
     s = st.es_ref.shape[1]
     d = nb * s
@@ -188,25 +195,64 @@ def device_assembly(
     # through the frame-windowed nearest-pixel Pallas kernel instead of a
     # scattered gather (the dominant assembly cost); weights are only needed
     # where the E_g gate can pass, so gated-off chunks are skipped
-    eg_gate = (gate & stencil_ok).reshape(d)
-    weights = compute_observations_batch(
-        cam, params.poses, depths, iso, nflat, occlusion_distance,
-        active=jnp.broadcast_to(
-            eg_gate.astype(jnp.float32)[None, :], (params.poses.shape[0], d)
-        ),
-    )  # [K, D]
-    # frame-major top-N cap: keep each voxel's num_obs best frames IN PLACE
-    # (row = keyframe). Double argsort = per-voxel descending rank with the
-    # same tie order as lax.top_k (lower frame index wins).
-    kcap = min(num_obs, weights.shape[0])
-    order = jnp.argsort(-weights, axis=0, stable=True)
-    rank = jnp.argsort(order, axis=0, stable=True)
-    sel = rank < kcap
-
-    w_sdf = jnp.clip(
+    kframes = params.poses.shape[0]
+    kcap = min(num_obs, kframes)
+    eg_gate2 = gate & stencil_ok  # [nb, S]
+    w_sdf2 = jnp.clip(
         1.0 - jnp.minimum(jnp.abs(sdfr), truncation) / truncation, 0.01, 1.0
-    ).reshape(d)
-    eg_w = jnp.where(eg_gate[None, :] & sel, weights * w_sdf[None, :], 0.0)  # [K, D]
+    )  # [nb, S]
+    if bmap is None:
+        eg_gate = eg_gate2.reshape(d)
+        weights = compute_observations_batch(
+            cam, params.poses, depths, iso, nflat, occlusion_distance,
+            active=jnp.broadcast_to(
+                eg_gate.astype(jnp.float32)[None, :], (kframes, d)
+            ),
+        )  # [K, D]
+        # frame-major top-N cap: keep each voxel's num_obs best frames IN
+        # PLACE (row = keyframe). Double argsort = per-voxel descending rank
+        # with the same tie order as lax.top_k (lower frame index wins).
+        order = jnp.argsort(-weights, axis=0, stable=True)
+        rank = jnp.argsort(order, axis=0, stable=True)
+        sel = rank < kcap
+        eg_w = jnp.where(
+            eg_gate[None, :] & sel, weights * w_sdf2.reshape(d)[None, :], 0.0
+        )  # [K, D]
+    else:
+        # frame-bucketed elements: evaluate observations only on each frame's
+        # visible blocks (block-row gathers; padding rows index the all-zero
+        # pad row, so their gate — and hence weight — is 0 by construction)
+        nbc = bmap.shape[1]
+        e = nbc * s
+        karr = jnp.arange(kframes, dtype=jnp.int32)[:, None]
+
+        def rows2(x):  # per-slot [nb, S] → bucketed [K, E]
+            return pad_flat(x)[bmap].reshape(kframes, e)
+
+        def rows3(x):  # per-slot [D, C] → bucketed [K, E, C]
+            xp = jnp.pad(x.reshape(nb, s, -1), ((0, 1), (0, 0), (0, 0)))
+            return xp[bmap].reshape(kframes, e, -1)
+
+        act_b = rows2(eg_gate2.astype(jnp.float32))
+        weights_b = compute_observations_batch(
+            cam, params.poses, depths, rows3(iso), rows3(nflat),
+            occlusion_distance, active=act_b,
+        )  # [K, E]
+        # top-N rank via one scatter back to per-slot columns (the only
+        # K×D-shaped transient of the bucketed assembly; an inverse-bucket
+        # ranking would remove it if it ever dominates at scale)
+        wfull = (
+            jnp.zeros((kframes, nb + 1, s), jnp.float32)
+            .at[karr, bmap]
+            .set(weights_b.reshape(kframes, nbc, s))
+        )
+        order = jnp.argsort(-wfull.reshape(kframes, -1), axis=0, stable=True)
+        rank = jnp.argsort(order, axis=0, stable=True)
+        sel = (rank < kcap).reshape(kframes, nb + 1, s)
+        sel_b = sel[karr, bmap].reshape(kframes, e)
+        eg_w = jnp.where(
+            (act_b > 0.0) & sel_b, weights_b * rows2(w_sdf2), 0.0
+        )  # [K, E]
 
     # --- E_r / E_s / E_a weights --------------------------------------------
     er_w = jnp.where(gate & ring_ok, 1.0, 0.0) * jnp.where(lambdas[1] > 0.0, 1.0, 0.0)
@@ -236,16 +282,17 @@ def device_assembly(
         images=images,
         pyr_scale=pyr_scale,
         voxel_size=voxel_size,
+        bmap=bmap,
     )
     sha = alb_plan.apply(params.albedo)
-    o = eg_w.shape[0]
     # validity-only probe: `r != 0` is a pure geometry predicate (see
     # eg_core), so the probe skips the image sampler entirely
+    probe_asm = asm._replace(eg_w=jnp.ones_like(eg_w))
     valid_probe = _eg_dense(
         (params.poses, params.intr, params.dist),
-        _stencil_dense(sh, 10, o),
-        _stencil_dense(sha, 4, o),
-        asm._replace(eg_w=jnp.ones_like(eg_w)),
+        _stencil_for(probe_asm, sh, 10),
+        _stencil_for(probe_asm, sha, 4),
+        probe_asm,
         validity_only=True,
     )
     eg_w = jnp.where(valid_probe != 0.0, eg_w, 0.0)

@@ -20,6 +20,7 @@ from intrinsic3d_tpu.mathutil import compute_varying_lambda, pyramid_level_to_sc
 from intrinsic3d_tpu.grid.blocks import BlockLayout
 from intrinsic3d_tpu.refine.assembly import LevelTopology, build_assembly
 from intrinsic3d_tpu.refine.blockform import (
+    build_frame_buckets,
     layout_plans,
     params_from_block,
     table_to_dense,
@@ -88,6 +89,29 @@ def optimize_level(
             sdf=table_to_dense(layout, params.sdf),
             albedo=table_to_dense(layout, params.albedo),
         )
+        # frame-bucketed E_g elements: worth the ~2x per-element stencil
+        # traffic only when per-frame visibility is a fraction of the grid —
+        # the many-keyframe regime where the dense [K, D] layout would scale
+        # with the full keyframe count (BENCH_NOTES "K ≫ num_obs")
+        bmap = None
+        if getattr(cfg, "frame_bucketing", "auto") != "never":
+            fb = build_frame_buckets(
+                layout,
+                np.asarray(params.poses),
+                np.asarray(params.intr, np.float64) * pyr_scale,
+                w,
+                h,
+                grid.voxel_size,
+                margin_px=0.15 * max(w, h),
+            )
+            if cfg.frame_bucketing == "always" or 2 * fb.shape[1] <= layout.num_blocks:
+                bmap = jnp.asarray(fb)
+                log.info(
+                    "  frame buckets: %d blocks/frame of %d (%.0f%% coverage)",
+                    fb.shape[1],
+                    layout.num_blocks,
+                    100.0 * fb.shape[1] / layout.num_blocks,
+                )
 
     for itr in range(cfg.iterations):
         lambda_r = compute_varying_lambda(itr, cfg.iterations, cfg.lambda_r0, cfg.lambda_r1)
@@ -114,6 +138,7 @@ def optimize_level(
                 fix_intrinsics=cfg.fix_intrinsics,
                 fix_distortion=cfg.fix_distortion,
                 use_albedo=cfg.lambda_a >= 0.0,
+                bmap=bmap,
             )
             bparams, cost0, cost1, mu, tries = gn_iteration(
                 bparams, basm, bmasks, mu, cfg.lm_steps, cg_iters

@@ -1,0 +1,234 @@
+"""Frame-bucketed E_g element layout ≡ dense frame-major layout.
+
+The bucketed layout (refine/blockform.py `bmap`) restricts each keyframe row
+to its visible blocks — the scaling path for scenes whose keyframe count far
+exceeds the per-voxel observation cap. It is a pure re-layout: the energy,
+the linearization, the GN matvec pair, and full solver iterations must match
+the dense frame-major form exactly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from intrinsic3d_tpu.config import RefinementConfig
+from intrinsic3d_tpu.grid.blocks import BlockLayout
+from intrinsic3d_tpu.refine import blockform
+from intrinsic3d_tpu.refine.device_assembly import build_level_static, device_assembly
+from intrinsic3d_tpu.refine.solver import gn_iteration
+from intrinsic3d_tpu.synthetic import build_sphere_problem
+
+
+@pytest.fixture(scope="module")
+def prob():
+    cfg = RefinementConfig(
+        num_observations=2,
+        occlusion_distance=0.04,
+        fix_poses=False,
+        fix_intrinsics=False,
+        fix_distortion=False,
+    )
+    return build_sphere_problem(
+        voxel_size=0.015,
+        image_size=(64, 48),
+        num_frames=3,
+        num_observations=2,
+        cfg=cfg,
+        perturb_sdf=0.002,
+        perturb_albedo=0.05,
+    )
+
+
+@pytest.fixture(scope="module")
+def pair(prob):
+    """(layout, params, dense assembly, bucketed assembly, masks)."""
+    asm, masks = prob.assemble()
+    layout = BlockLayout.build(prob.grid)
+    bp, basm_d, bm = blockform.to_block_problem(
+        layout, prob.topo.coords, asm, masks, prob.params
+    )
+    _, basm_b, _ = blockform.to_block_problem(
+        layout, prob.topo.coords, asm, masks, prob.params, bucket=True
+    )
+    return layout, bp, basm_d, basm_b, bm
+
+
+def test_bucketed_energy_matches_dense(pair):
+    _, bp, basm_d, basm_b, _ = pair
+    rd = blockform.block_all_residuals(bp, basm_d, masked=False)
+    rb = blockform.block_all_residuals(bp, basm_b, masked=False)
+    np.testing.assert_allclose(
+        float(jnp.sum(rd * rd)), float(jnp.sum(rb * rb)), rtol=1e-6
+    )
+
+
+def test_bucketed_linearization_matches_dense(pair):
+    _, bp, basm_d, basm_b, _ = pair
+    c0d, lind = blockform.linearize_block(bp, basm_d)
+    c0b, linb = blockform.linearize_block(bp, basm_b)
+    np.testing.assert_allclose(float(c0d), float(c0b), rtol=1e-6)
+
+    rng = np.random.default_rng(0)
+    v = bp._replace(
+        sdf=jnp.asarray(rng.normal(0, 1, bp.sdf.shape).astype(np.float32)),
+        albedo=jnp.asarray(rng.normal(0, 1, bp.albedo.shape).astype(np.float32)),
+        poses=jnp.asarray(rng.normal(0, 1, bp.poses.shape).astype(np.float32)),
+        intr=jnp.asarray(rng.normal(0, 1, bp.intr.shape).astype(np.float32)),
+        dist=jnp.asarray(rng.normal(0, 1, bp.dist.shape).astype(np.float32)),
+    )
+    jd = blockform.jtv_block(lind, basm_d, blockform.jv_block(lind, basm_d, v))
+    jb = blockform.jtv_block(linb, basm_b, blockform.jv_block(linb, basm_b, v))
+    for a, b, name in zip(jd, jb, jd._fields):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5, err_msg=name
+        )
+    dd = blockform.diag_from_lin(lind, basm_d)
+    db = blockform.diag_from_lin(linb, basm_b)
+    for a, b, name in zip(dd, db, dd._fields):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6, err_msg=name
+        )
+
+
+def test_bucketed_gn_step_matches_dense(pair):
+    _, bp, basm_d, basm_b, bm = pair
+    out_d = gn_iteration(bp, basm_d, bm, jnp.float32(1e-4), 3, 4)
+    out_b = gn_iteration(bp, basm_b, bm, jnp.float32(1e-4), 3, 4)
+    assert float(out_d[2]) < float(out_d[1])
+    np.testing.assert_allclose(float(out_b[1]), float(out_d[1]), rtol=1e-5)
+    np.testing.assert_allclose(float(out_b[2]), float(out_d[2]), rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(out_b[0].sdf), np.asarray(out_d[0].sdf), atol=5e-5
+    )
+
+
+def test_frustum_buckets_cover_observed_blocks(prob):
+    """Every block holding an active E_g element must be in its frame's
+    frustum bucket (observations outside the frustum are impossible)."""
+    asm, masks = prob.assemble()
+    layout = BlockLayout.build(prob.grid)
+    bmap = blockform.build_frame_buckets(
+        layout,
+        np.asarray(prob.params.poses),
+        np.asarray(prob.params.intr),
+        int(prob.images.shape[2]),
+        int(prob.images.shape[1]),
+        prob.grid.voxel_size,
+    )
+    s = layout.block**3
+    eg_slot = layout.slots_of(np.asarray(asm.eg_vpos))
+    active = np.asarray(asm.eg_w) > 0
+    frames = np.asarray(asm.eg_frame)
+    for k in range(bmap.shape[0]):
+        need = np.unique(eg_slot[active & (frames == k)] // s)
+        assert np.all(np.isin(need, bmap[k])), f"frame {k} bucket misses blocks"
+
+
+def test_device_assembly_bucketed_matches_dense(prob):
+    layout = BlockLayout.build(prob.grid)
+    st = build_level_static(layout, prob.grid, prob.topo, prob.voxel_sh)
+    sdf_plan, alb_plan = blockform.layout_plans(layout)
+    bp = prob.params._replace(
+        sdf=blockform.table_to_dense(layout, prob.params.sdf),
+        albedo=blockform.table_to_dense(layout, prob.params.albedo),
+    )
+    cfg = prob.cfg
+    args = (
+        st,
+        sdf_plan,
+        alb_plan,
+        bp,
+        prob.depths,
+        prob.images,
+        jnp.float32(1.0),
+        jnp.float32(prob.grid.voxel_size),
+        jnp.float32(prob.grid.truncation),
+        jnp.float32(prob.thres_shell),
+        jnp.float32(cfg.occlusion_distance),
+        jnp.asarray([cfg.lambda_g, 10.0, 10.0, cfg.lambda_a], jnp.float32),
+    )
+    kw = dict(num_obs=2, width=int(prob.images.shape[2]), height=int(prob.images.shape[1]))
+    asm_d, m_d = device_assembly(*args, **kw)
+    bmap = blockform.build_frame_buckets(
+        layout,
+        np.asarray(prob.params.poses),
+        np.asarray(prob.params.intr),
+        kw["width"],
+        kw["height"],
+        prob.grid.voxel_size,
+    )
+    asm_b, m_b = device_assembly(*args, **kw, bmap=jnp.asarray(bmap))
+
+    np.testing.assert_allclose(np.asarray(asm_d.lam), np.asarray(asm_b.lam), rtol=1e-6)
+    # bucketed weights scattered back to (frame, slot) must equal the dense grid
+    k = prob.params.poses.shape[0]
+    nb = layout.num_blocks
+    s = layout.block**3
+    w_b = np.asarray(asm_b.eg_w).reshape(k, -1, s)
+    w_full = np.zeros((k, nb + 1, s), np.float32)
+    for kk in range(k):
+        w_full[kk, bmap[kk]] = w_b[kk]
+    np.testing.assert_allclose(
+        np.asarray(asm_d.eg_w), w_full[:, :nb].reshape(k, nb * s), rtol=1e-5, atol=1e-7
+    )
+    for a, b in zip(m_d, m_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    out_d = gn_iteration(bp, asm_d, m_d, jnp.float32(1e-4), 3, 4)
+    out_b = gn_iteration(bp, asm_b, m_b, jnp.float32(1e-4), 3, 4)
+    np.testing.assert_allclose(float(out_b[1]), float(out_d[1]), rtol=1e-5)
+    np.testing.assert_allclose(float(out_b[2]), float(out_d[2]), rtol=1e-3)
+
+
+def test_optimize_level_bucketed_matches_dense(prob):
+    """`optimize_level` with frame_bucketing forced on reproduces the dense
+    production path's per-iteration costs."""
+    import dataclasses
+
+    from intrinsic3d_tpu.refine.optimizer import optimize_level
+
+    cfg = dataclasses.replace(
+        prob.cfg, iterations=2, lm_steps=6, lambda_r0=20.0, lambda_r1=20.0,
+        lambda_s0=20.0, lambda_s1=20.0,
+    )
+    args = (
+        prob.grid,
+        prob.topo,
+        prob.params,
+        None,  # cfg placeholder (filled per call)
+        prob.cam,
+        prob.depths,
+        prob.images,
+        prob.voxel_sh,
+        prob.thres_shell,
+    )
+
+    def run(mode):
+        c = dataclasses.replace(cfg, frame_bucketing=mode)
+        a = args[:3] + (c,) + args[4:]
+        return optimize_level(*a, rgbd_level=0)
+
+    p_d, _, st_d = run("never")
+    p_b, _, st_b = run("always")
+    np.testing.assert_allclose(st_b.costs_before, st_d.costs_before, rtol=1e-4)
+    np.testing.assert_allclose(st_b.costs_after, st_d.costs_after, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(p_b.sdf), np.asarray(p_d.sdf), atol=1e-4
+    )
+
+
+def test_sharded_bucketed_gn_step(pair):
+    """The bucketed layout lowers under the 8-device mesh placement."""
+    from intrinsic3d_tpu.parallel.sharding import make_mesh, shard_block_problem
+
+    _, bp, _, basm_b, bm = pair
+    ref = gn_iteration(bp, basm_b, bm, jnp.float32(1e-4), 3, 4)
+    mesh = make_mesh(8)
+    with mesh:
+        bp_s, basm_s, bm_s = shard_block_problem(bp, basm_b, bm, mesh)
+        out = gn_iteration(bp_s, basm_s, bm_s, jnp.float32(1e-4), 3, 4)
+        jax.block_until_ready(out)
+    np.testing.assert_allclose(float(out[1]), float(ref[1]), rtol=1e-5)
+    assert float(out[2]) < float(out[1])
+    np.testing.assert_allclose(float(out[2]), float(ref[2]), rtol=2e-2)
