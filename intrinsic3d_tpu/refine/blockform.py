@@ -347,6 +347,23 @@ def linearize_block(params: Params, asm: BlockAssembly) -> Tuple[jnp.ndarray, Bl
     return cost0, lin
 
 
+def cast_lin(lin: BlockLin, dtype) -> BlockLin:
+    """Cast the dense E_g coefficient fields — the PCG matvec's dominant HBM
+    traffic, 29 × [K, D] — to `dtype` (bf16 halves the bytes the LM/PCG loop
+    streams per J·v / Jᵀ·y). Residuals and the linear-term √(w·λ) factors stay
+    f32. `jv_block`/`jtv_block` consume the SAME cast fields, so the J/Jᵀ pair
+    remains exactly adjoint and JᵀJ an exactly symmetric PSD Gram matrix (of a
+    ~2⁻⁸-perturbed J — well inside the inexact-Newton forcing tolerance the
+    PCG exit already allows, solver.py::_pcg)."""
+    return lin._replace(
+        a_sdf=lin.a_sdf.astype(dtype),
+        a_alb=lin.a_alb.astype(dtype),
+        a_pose=lin.a_pose.astype(dtype),
+        a_intr=lin.a_intr.astype(dtype),
+        a_dist=lin.a_dist.astype(dtype),
+    )
+
+
 def jv_block(lin: BlockLin, asm: BlockAssembly, v: Params):
     """J·v — tangent of the residual parts, fully dense."""
     nb = v.sdf.shape[0] - 1

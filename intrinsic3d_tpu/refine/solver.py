@@ -169,7 +169,7 @@ def _pcg(matvec, precond, b: Params, iters: int, eta: float = 0.1) -> Params:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("lm_steps", "cg_iters"))
+@functools.partial(jax.jit, static_argnames=("lm_steps", "cg_iters", "cg_coeff_dtype"))
 def gn_iteration(
     params: Params,
     asm: Assembly,
@@ -177,9 +177,16 @@ def gn_iteration(
     mu: jnp.ndarray,
     lm_steps: int = 50,
     cg_iters: int = 12,
+    cg_coeff_dtype: str = "bfloat16",
 ) -> Tuple[Params, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One relinearize→solve→accept cycle (the body of the reference's outer
     iteration, ``optimizer.cpp:119-173`` + ``nls_solver.cpp:296-337``).
+
+    `cg_coeff_dtype` (block path only) is the storage dtype of the dense E_g
+    coefficient fields INSIDE the PCG loop: the gradient, the exact Jacobi
+    diagonal, the residuals, and every accumulation stay f32 — only the
+    matvec's streamed J coefficients are rounded (see `blockform.cast_lin`;
+    pass "float32" for exact products).
 
     Returns (params', cost_before, cost_after, mu', num_tries).
     """
@@ -188,10 +195,12 @@ def gn_iteration(
         # Jacobian, dense frame-major (keyframe, slot) coefficient fields, and a matvec that is
         # pure dense math + one-hot matmuls (see blockform.BlockLin)
         cost0, lin = blockform.linearize_block(params, asm)
+        grad = blockform.jtv_block(lin, asm, (lin.r0_g, lin.r0_r, lin.r0_s, lin.r0_a))
+        diag = blockform.diag_from_lin(lin, asm)
+        if cg_coeff_dtype != "float32":
+            lin = blockform.cast_lin(lin, jnp.dtype(cg_coeff_dtype))
         jlin = lambda v: blockform.jv_block(lin, asm, v)  # noqa: E731
         jt = lambda y: (blockform.jtv_block(lin, asm, y),)  # noqa: E731
-        grad = jt((lin.r0_g, lin.r0_r, lin.r0_s, lin.r0_a))[0]
-        diag = blockform.diag_from_lin(lin, asm)
     else:
         r0, jlin = jax.linearize(lambda p: residual_stack(p, asm), params)
         jt = jax.linear_transpose(jlin, params)

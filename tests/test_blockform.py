@@ -125,6 +125,38 @@ def test_gn_iteration_equivalent(prob, block_problem):
     )
 
 
+def test_bf16_matvec_convergence(prob, block_problem):
+    """The bf16 coefficient-field matvec (`cast_lin`, the gn_iteration
+    default) must track the exact-f32 PCG over a multi-iteration GN
+    trajectory: same accepts, matching costs, matching parameters. The
+    gradient/diagonal stay f32 in both, so only the CG directions are
+    perturbed (~2⁻⁸ relative on J's entries)."""
+    _, _, _, bparams, basm, bmasks = block_problem
+
+    def run(dtype):
+        p, mu = bparams, jnp.float32(1e-4)
+        costs = []
+        for _ in range(3):
+            p, c0, c1, mu, _ = gn_iteration(
+                p, basm, bmasks, mu, lm_steps=3, cg_iters=6, cg_coeff_dtype=dtype
+            )
+            costs.append((float(c0), float(c1)))
+        return p, costs
+
+    p16, costs16 = run("bfloat16")
+    p32, costs32 = run("float32")
+    for (a0, a1), (b0, b1) in zip(costs16, costs32):
+        np.testing.assert_allclose(a0, b0, rtol=1e-3)
+        np.testing.assert_allclose(a1, b1, rtol=1e-3)
+        assert a1 < a0
+    np.testing.assert_allclose(
+        np.asarray(p16.sdf), np.asarray(p32.sdf), rtol=5e-3, atol=5e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(p16.poses), np.asarray(p32.poses), rtol=5e-3, atol=5e-6
+    )
+
+
 def test_handrolled_linearization(prob, block_problem):
     """jv/jtv must be an exact adjoint pair and match jax.linearize of the
     block residual stack; diag_from_lin must equal the autodiff Jacobi diag."""
