@@ -108,7 +108,12 @@ def test_jacobi_diag_matches(prob, block_problem):
 def test_gn_iteration_equivalent(prob, block_problem):
     layout, asm, masks, bparams, basm, bmasks = block_problem
     out_t = gn_iteration(prob.params, asm, masks, jnp.float32(1e-4), lm_steps=3, cg_iters=6)
-    out_b = gn_iteration(bparams, basm, bmasks, jnp.float32(1e-4), lm_steps=3, cg_iters=6)
+    # exact-arithmetic equivalence oracle: disable the bf16 matvec default
+    # (bf16-vs-f32 tracking is covered by test_bf16_matvec_convergence)
+    out_b = gn_iteration(
+        bparams, basm, bmasks, jnp.float32(1e-4), lm_steps=3, cg_iters=6,
+        cg_coeff_dtype="float32",
+    )
     p_t, c0_t, c1_t, _, tries_t = out_t
     p_b, c0_b, c1_b, _, tries_b = out_b
     np.testing.assert_allclose(float(c0_b), float(c0_t), rtol=1e-5)
