@@ -14,12 +14,16 @@ express:
 - **an analytic 2-dot backward** (custom_vjp): d/dx and d/dy re-use the same
   one-hot structure with derivative weights — no checkpoint replay and no
   saved `[nchunks, chunk, K·H]` residuals (73 GB OOM in the naive vjp);
-- **one-frame windows** (`bicubic_sample_rows`, the production path for
+- **narrow row windows** (`bicubic_sample_rows`, the production path for
   the frame-major block layout): the scalar-prefetch array also carries the
-  chunk's frame id, which the image BlockSpec index map consumes, so each
-  chunk DMAs only ITS FRAME from the HBM stack — the row-select dots shrink
-  from `[chunk, K·H]` to `[chunk, H]` (8x fewer MACs at K=8) and the stack
-  never needs to fit in VMEM (one frame does, at any realistic size).
+  chunk's 2·WG-row window base (derived from the chunk's minimum tap row),
+  which the image BlockSpec index maps consume, so each chunk DMAs only a
+  64-row band of its frame from the HBM stack — the row-select dots shrink
+  from `[chunk, K·H]` to `[chunk, 2·WG]` (≈30x fewer MACs at K=8, H=240)
+  and the stack never needs to fit in VMEM (a 64-row band always does).
+  Chunks whose taps overflow the window resolve in fallback passes of the
+  existing multi-pass loop (rare: a chunk is one compact (frame, 8³-voxel-
+  block) projection).
 
 `bicubic_sample` (full-width, VMEM-resident stack) remains for callers whose
 fid patterns are not chunk-uniform; it requires K·H small enough for VMEM.
@@ -238,36 +242,54 @@ bicubic_sample.defvjp(_fwd_rule, _bwd)
 
 
 # ---------------------------------------------------------------------------
-# Row-windowed variant: frame-uniform chunks + one-frame image windows
+# Row-windowed variant: frame-uniform chunks + narrow (2·WG-row) image windows
 # ---------------------------------------------------------------------------
 #
 # When every CHUNK of elements samples a SINGLE keyframe (the frame-major
-# block layout, refine/blockform.py), the row one-hot only needs that
-# frame's rows: the window BlockSpec block is EXACTLY ONE FRAME (rows padded
-# to a 16-multiple `hpad`), selected per chunk by a scalar-prefetch-driven
-# index map carrying the frame id (Pallas DMAs the frame from HBM and skips
-# the fetch when consecutive chunks share it). This cuts the dominant
-# `[chunk, K·H] @ [K·H, W]` row-select dots to `[chunk, hpad] @ [hpad, W]`
-# — the image stack never needs to fit in VMEM (one frame does: ~1-8 MB at
-# any realistic resolution), so there is no K·H ceiling, and every
-# frame-uniform element is in-window on the FIRST pass by construction.
+# block layout, refine/blockform.py), the row one-hot only needs a narrow
+# band of that frame's rows: frames are padded to WG-row-multiple heights so
+# they start on window-block boundaries, and each chunk's window is the TWO
+# adjacent WG-row blocks starting at the block holding its minimum tap row,
+# selected by scalar-prefetch-driven index maps (Pallas DMAs the band from
+# HBM and skips the fetch when consecutive chunks share it). This cuts the
+# dominant `[chunk, K·H] @ [K·H, W]` row-select dots to
+# `[chunk, 2·WG] @ [2·WG, W]` — the image stack never needs to fit in VMEM,
+# there is no K·H ceiling, and a chunk whose taps span ≤ WG−2 rows (the
+# common case: one 8³ voxel block's projection) is in-window on the FIRST
+# pass.
 #
 # CONTRACT: within each CHUNK-aligned run of elements all `fid` values must
 # be equal (callers pad the slot axis of `[K, D]` element arrays to a CHUNK
 # multiple). Violations are handled exactly but slowly: leftover elements
-# resolve through while-loop fallback passes (one frame per pass).
+# resolve through while-loop fallback passes (one window per pass).
+#
+# The window is NARROW: two adjacent WG-row blocks (2·WG = 64 rows) chosen
+# per chunk from the chunk's minimum tap row — a chunk is one (frame, voxel
+# block) pair, and an 8³ voxel block projects to a compact image region, so
+# nearly every chunk's taps fit the 64-row window on the first pass (the
+# element holding the minimum row ALWAYS does: its local row is < WG, so
+# each fallback pass strictly shrinks the remainder — termination is
+# unconditional). Versus a whole-frame window this cuts the row-select dots
+# and the row one-hot build from [chunk, hpad] to [chunk, 2·WG] (~3.75x
+# fewer MACs at 240-row frames).
+
+WG = 64  # window granularity (rows); window = two adjacent WG-row blocks
 
 
-def _win_specs(hpad: int, w: int):
+def _win_specs(wg: int, w: int):
     # every data movement is driven by the scalar-prefetch meta so that runs
     # of SKIPPED chunks cost (almost) nothing: their per-element fetch maps
     # to block meta[2,i]=0 and their output to a shared trash block
     # meta[3,i]=nchunks — Pallas elides DMAs whose block index is unchanged
-    # between consecutive grid steps
+    # between consecutive grid steps. The image window is TWO operands (the
+    # same array passed twice): WG-row blocks meta[1,i] and meta[1,i]+1.
     row_i = pl.BlockSpec(
         (1, 1, CHUNK), lambda i, meta: (meta[2, i], 0, 0), memory_space=pltpu.VMEM
     )
-    img_specs = [pl.BlockSpec((hpad, w), lambda i, meta: (meta[1, i], 0))]
+    img_specs = [
+        pl.BlockSpec((wg, w), lambda i, meta: (meta[1, i], 0)),
+        pl.BlockSpec((wg, w), lambda i, meta: (meta[1, i] + 1, 0)),
+    ]
     out = pl.BlockSpec(
         (1, 1, CHUNK), lambda i, meta: (meta[3, i], 0, 0), memory_space=pltpu.VMEM
     )
@@ -289,9 +311,11 @@ def _bf16x3(sel, wh, wl):
     return dot(s_hi, wh) + dot(s_hi, wl) + dot(s_lo, wh)
 
 
-def _win_fwd_kernel(meta_ref, rloc_ref, ty_ref, c0_ref, tx_ref, wh, wl, out_ref):
+def _win_fwd_kernel(meta_ref, rloc_ref, ty_ref, c0_ref, tx_ref, wh0, wh1, wl0, wl1, out_ref):
     @pl.when(meta_ref[0, pl.program_id(0)] > 0)
     def _():
+        wh = jnp.concatenate([wh0[:], wh1[:]], axis=0)
+        wl = jnp.concatenate([wl0[:], wl1[:]], axis=0)
         rloc = rloc_ref[0, 0, :]
         win = wh.shape[0]
         inw = ((rloc >= 0) & (rloc <= win - 4)).astype(jnp.float32)
@@ -309,10 +333,12 @@ def _win_fwdgrad_kernel(meta_ref, rloc_ref, ty_ref, c0_ref, tx_ref, *refs):
     emitting them here makes the backward a pure elementwise `g·ddx` with no
     kernel at all — 6 window dots total instead of 3 (fwd) + 6 (bwd), and
     the row selections are built once."""
-    (wh, wl, out_ref, ddx_ref, ddy_ref) = refs
+    (wh0, wh1, wl0, wl1, out_ref, ddx_ref, ddy_ref) = refs
 
     @pl.when(meta_ref[0, pl.program_id(0)] > 0)
     def _():
+        wh = jnp.concatenate([wh0[:], wh1[:]], axis=0)
+        wl = jnp.concatenate([wl0[:], wl1[:]], axis=0)
         rloc = rloc_ref[0, 0, :]
         ty = ty_ref[0, 0, :]
         tx = tx_ref[0, 0, :]
@@ -360,13 +386,15 @@ def _win_prep(images, fid, x, y, active):
     def chunked(a):
         return a.reshape(nchunks, 1, CHUNK)
 
-    # pad each frame's rows to a 16-multiple (bf16 sublane tile) so the
-    # window block is exactly one frame at block index `fid`
-    hpad = -(-h // 16) * 16
+    # pad each frame's rows to a WG-multiple so frames start on window-block
+    # boundaries, plus one trailing zero block so the second window block
+    # (meta[1,i]+1) is always in range
+    hpad = -(-h // WG) * WG
     if hpad > h:
         images = jnp.pad(images, ((0, 0), (0, hpad - h), (0, 0)))
         r0 = fid * hpad + y0 - 1
-    img_hi, img_lo = _split_bf16(images.reshape(k * hpad, w))
+    flat = jnp.pad(images.reshape(k * hpad, w), ((0, WG), (0, 0)))
+    img_hi, img_lo = _split_bf16(flat)
 
     act = padded(active if active is not None else jnp.ones(m, jnp.float32))
     r0 = padded(r0)
@@ -400,9 +428,12 @@ def _ffill(vals, valid):
     return filled
 
 
-def _pass_meta(r0, remaining, nchunks, hpad, kframes, taps=4):
-    """Per-pass scalar-prefetch meta `[4, nchunks]`: (activity, frame id,
-    per-element fetch index, output block index) per grid step.
+def _pass_meta(r0, remaining, nchunks, wg, max_wb, taps=4):
+    """Per-pass scalar-prefetch meta `[4, nchunks]`: (activity, window block
+    index, per-element fetch index, output block index) per grid step.
+
+    The window base is the WG-block holding the chunk's minimum remaining
+    tap row; the fetched window spans blocks (wb, wb+1) = 2·wg rows.
 
     The grid walks all `nchunks` chunks — skipped steps are nearly free:
     their per-element fetches all map to block 0 and their output to the
@@ -415,11 +446,11 @@ def _pass_meta(r0, remaining, nchunks, hpad, kframes, taps=4):
     r0c = r0.reshape(nchunks, CHUNK)
     remc = remaining.reshape(nchunks, CHUNK)
     rmin = jnp.min(jnp.where(remc, r0c, jnp.int32(2**30)), axis=1)
-    wb = jnp.clip(rmin // hpad, 0, kframes - 1)  # = the chunk's frame id
+    wb = jnp.clip(rmin // wg, 0, max_wb)
     anyrem = jnp.any(remc, axis=1)
     wb = _ffill(wb, anyrem)
-    rloc = r0 - jnp.repeat(wb * hpad, CHUNK)
-    in_win = (rloc >= 0) & (rloc <= hpad - taps)  # taps=1 for nearest lookup
+    rloc = r0 - jnp.repeat(wb * wg, CHUNK)
+    in_win = (rloc >= 0) & (rloc <= 2 * wg - taps)  # taps=1 for nearest lookup
     idx = jnp.arange(nchunks, dtype=jnp.int32)
     meta = jnp.stack(
         [
@@ -433,8 +464,8 @@ def _pass_meta(r0, remaining, nchunks, hpad, kframes, taps=4):
     return meta, rloc.reshape(nchunks, 1, CHUNK), hit_base
 
 
-def _call_fwd(meta, rloc, ty, c0, tx, img_hi, img_lo, grid_len, nchunks, hpad, w):
-    row_i, img_specs, out_s = _win_specs(hpad, w)
+def _call_fwd(meta, rloc, ty, c0, tx, img_hi, img_lo, grid_len, nchunks, wg, w):
+    row_i, img_specs, out_s = _win_specs(wg, w)
     return pl.pallas_call(
         _win_fwd_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -446,11 +477,11 @@ def _call_fwd(meta, rloc, ty, c0, tx, img_hi, img_lo, grid_len, nchunks, hpad, w
         out_shape=jax.ShapeDtypeStruct((nchunks + 1, 1, CHUNK), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(meta, rloc, ty, c0, tx, img_hi, img_lo)
+    )(meta, rloc, ty, c0, tx, img_hi, img_hi, img_lo, img_lo)
 
 
-def _call_fwdgrad(meta, rloc, ty, c0, tx, img_hi, img_lo, grid_len, nchunks, hpad, w):
-    row_i, img_specs, out_s = _win_specs(hpad, w)
+def _call_fwdgrad(meta, rloc, ty, c0, tx, img_hi, img_lo, grid_len, nchunks, wg, w):
+    row_i, img_specs, out_s = _win_specs(wg, w)
     shp = jax.ShapeDtypeStruct((nchunks + 1, 1, CHUNK), jnp.float32)
     return pl.pallas_call(
         _win_fwdgrad_kernel,
@@ -463,7 +494,7 @@ def _call_fwdgrad(meta, rloc, ty, c0, tx, img_hi, img_lo, grid_len, nchunks, hpa
         out_shape=(shp, shp, shp),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(meta, rloc, ty, c0, tx, img_hi, img_lo)
+    )(meta, rloc, ty, c0, tx, img_hi, img_hi, img_lo, img_lo)
 
 
 # scalar-prefetch operands live in SMEM (~1 MB budget): the [4, nchunks]
@@ -473,15 +504,17 @@ def _call_fwdgrad(meta, rloc, ty, c0, tx, img_hi, img_lo, grid_len, nchunks, hpa
 SEG_CHUNKS = 24576
 
 
-def _seg_run(call, outs_zero, r0, act, seg, hpad, kframes, taps=4):
-    """Run the frame-window pass machinery on one chunk segment.
+def _seg_run(call, outs_zero, r0, act, seg, wg, max_wb, taps=4):
+    """Run the row-window pass machinery on one chunk segment.
 
     `call(meta, rloc, grid_len) -> tuple of [seg+1, 1, CHUNK]` wraps the
     kernel; `outs_zero` is a tuple of [seg·CHUNK] zeros that accumulates
-    selected lanes. The window is one whole frame, so every frame-uniform
-    chunk resolves on the first pass; mixed-frame chunks (contract
-    violations) resolve through while-loop fallback passes, one frame per
-    pass — normally zero iterations."""
+    selected lanes. A chunk whose taps span ≤ (2·WG − taps − WG + 1) rows
+    resolves on the first pass (the common case: a chunk is one compact
+    (frame, voxel-block) projection); wider spreads and mixed-frame chunks
+    resolve through while-loop fallback passes — each pass always resolves
+    at least the minimum-row element (its window-local row is < WG), so the
+    loop terminates unconditionally."""
 
     def merge(state, meta, rloc, hit_base):
         outs, remaining = state
@@ -492,10 +525,10 @@ def _seg_run(call, outs_zero, r0, act, seg, hpad, kframes, taps=4):
         )
         return outs, remaining & ~hit_base
 
-    state = merge((outs_zero, act), *_pass_meta(r0, act, seg, hpad, kframes, taps))
+    state = merge((outs_zero, act), *_pass_meta(r0, act, seg, wg, max_wb, taps))
 
     def body(state):
-        return merge(state, *_pass_meta(r0, state[1], seg, hpad, kframes, taps))
+        return merge(state, *_pass_meta(r0, state[1], seg, wg, max_wb, taps))
 
     (outs, _) = jax.lax.while_loop(lambda s: jnp.any(s[1]), body, state)
     return outs
@@ -518,7 +551,7 @@ def _rows_fwd(images, fid, x, y, active):
     img_hi, img_lo, hpad, act, r0, ty, c0, tx, nchunks, m, h, w = _win_prep(
         images, fid, x, y, active
     )
-    kframes = img_hi.shape[0] // hpad
+    max_wb = (img_hi.shape[0] - WG) // WG - 1
     pieces = []
     for s0, s1 in _segments(nchunks):
         seg = s1 - s0
@@ -528,14 +561,14 @@ def _rows_fwd(images, fid, x, y, active):
             return (
                 _call_fwd(
                     meta, rloc, ty[s0:s1], c0[s0:s1], tx[s0:s1],
-                    img_hi, img_lo, grid_len, seg, hpad, w,
+                    img_hi, img_lo, grid_len, seg, WG, w,
                 ),
             )
 
         (seg_out,) = _seg_run(
             call,
             (jnp.zeros(seg * CHUNK, jnp.float32),),
-            r0[e0:e1], act[e0:e1], seg, hpad, kframes,
+            r0[e0:e1], act[e0:e1], seg, WG, max_wb,
         )
         pieces.append(seg_out)
     out = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces)
@@ -548,7 +581,7 @@ def _rows_fwd_rule(images, fid, x, y, active):
     img_hi, img_lo, hpad, act, r0, ty, c0, tx, nchunks, m, h, w = _win_prep(
         images, fid, x, y, active
     )
-    kframes = img_hi.shape[0] // hpad
+    max_wb = (img_hi.shape[0] - WG) // WG - 1
     pieces = []
     for s0, s1 in _segments(nchunks):
         seg = s1 - s0
@@ -557,14 +590,14 @@ def _rows_fwd_rule(images, fid, x, y, active):
         def call(meta, rloc, grid_len, s0=s0, s1=s1, seg=seg):
             return _call_fwdgrad(
                 meta, rloc, ty[s0:s1], c0[s0:s1], tx[s0:s1],
-                img_hi, img_lo, grid_len, seg, hpad, w,
+                img_hi, img_lo, grid_len, seg, WG, w,
             )
 
         z = jnp.zeros(seg * CHUNK, jnp.float32)
         pieces.append(
             _seg_run(
                 call, (z, z, z),
-                r0[e0:e1], act[e0:e1], seg, hpad, kframes,
+                r0[e0:e1], act[e0:e1], seg, WG, max_wb,
             )
         )
     if len(pieces) == 1:
@@ -599,9 +632,11 @@ bicubic_sample_rows.defvjp(_rows_fwd_rule, _rows_bwd)
 # `bicubic_sample_rows`; not differentiable (the visibility probe is data).
 
 
-def _nearest_kernel(meta_ref, rloc_ref, c0_ref, wh, wl, out_ref):
+def _nearest_kernel(meta_ref, rloc_ref, c0_ref, wh0, wh1, wl0, wl1, out_ref):
     @pl.when(meta_ref[0, pl.program_id(0)] > 0)
     def _():
+        wh = jnp.concatenate([wh0[:], wh1[:]], axis=0)
+        wl = jnp.concatenate([wl0[:], wl1[:]], axis=0)
         rloc = rloc_ref[0, 0, :]
         win = wh.shape[0]
         n = rloc.shape[0]
@@ -623,7 +658,7 @@ def _nearest_kernel(meta_ref, rloc_ref, c0_ref, wh, wl, out_ref):
 def nearest_sample_rows(images, fid, yi, xi, active):
     """`images[fid, yi, xi]` per element (frame-uniform chunks): `images
     [K,H,W]`, int32 `fid/yi/xi [M]` pre-clipped to bounds, `active [M]`
-    (0 ⇒ output 0). Images stream from HBM one frame per chunk."""
+    (0 ⇒ output 0). Images stream from HBM one 2·WG-row band per chunk."""
     k, h, w = images.shape
     m = yi.shape[0]
     nchunks = -(-m // CHUNK)
@@ -632,17 +667,19 @@ def nearest_sample_rows(images, fid, yi, xi, active):
     def padded(a, fill=0):
         return jnp.pad(a, (0, pad), constant_values=fill) if pad else a
 
-    hpad = -(-h // 16) * 16
+    hpad = -(-h // WG) * WG
     if hpad > h:
         images = jnp.pad(images, ((0, 0), (0, hpad - h), (0, 0)))
-    img_hi, img_lo = _split_bf16(images.reshape(k * hpad, w))
+    flat = jnp.pad(images.reshape(k * hpad, w), ((0, WG), (0, 0)))
+    img_hi, img_lo = _split_bf16(flat)
+    max_wb = (k * hpad) // WG - 1
 
     r0 = padded(fid * hpad + yi)
     c0 = padded(xi).reshape(nchunks, 1, CHUNK)
     act = padded(active) > 0.0
     out = jnp.zeros(nchunks * CHUNK, jnp.float32)
 
-    row_i, img_specs, out_s = _win_specs(hpad, w)
+    row_i, img_specs, out_s = _win_specs(WG, w)
 
     def call(meta, rloc, s0, s1, seg):
         return pl.pallas_call(
@@ -656,7 +693,7 @@ def nearest_sample_rows(images, fid, yi, xi, active):
             out_shape=jax.ShapeDtypeStruct((seg + 1, 1, CHUNK), jnp.float32),
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
             interpret=_interpret(),
-        )(meta, rloc, c0[s0:s1], img_hi, img_lo)
+        )(meta, rloc, c0[s0:s1], img_hi, img_hi, img_lo, img_lo)
 
     pieces = []
     for s0, s1 in _segments(nchunks):
@@ -669,7 +706,7 @@ def nearest_sample_rows(images, fid, yi, xi, active):
         (seg_out,) = _seg_run(
             seg_call,
             (jnp.zeros(seg * CHUNK, jnp.float32),),
-            r0[e0:e1], act[e0:e1], seg, hpad, k, taps=1,
+            r0[e0:e1], act[e0:e1], seg, WG, max_wb, taps=1,
         )
         pieces.append(seg_out)
     out = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces)
