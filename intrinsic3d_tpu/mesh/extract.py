@@ -132,12 +132,32 @@ def extract_surface(
     sdf: Optional[np.ndarray] = None,
     colors: Optional[np.ndarray] = None,
     iso: float = 0.0,
+    method: str = "mc",
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Extract the iso-surface mesh.
 
     Returns (vertices `[V, 3]` world coords, faces `[F, 3]`, colors `[V, 3]`
-    0..255). `sdf`/`colors` default to the grid's fields.
+    0..255). `sdf`/`colors` default to the grid's fields. ``method`` selects
+    the extractor: ``"mc"`` (default) = table-driven marching cubes matching
+    the reference's output structure (``mesh/marching_cubes.py``);
+    ``"tet"`` = marching tetrahedra (this module).
     """
+    if method == "mc":
+        from intrinsic3d_tpu.mesh.marching_cubes import extract_surface_mc
+
+        return extract_surface_mc(grid, sdf=sdf, colors=colors, iso=iso)
+    if method != "tet":
+        raise ValueError(f"unknown extraction method: {method!r}")
+    return extract_surface_tet(grid, sdf=sdf, colors=colors, iso=iso)
+
+
+def extract_surface_tet(
+    grid: VoxelGrid,
+    sdf: Optional[np.ndarray] = None,
+    colors: Optional[np.ndarray] = None,
+    iso: float = 0.0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Marching-tetrahedra extraction (Kuhn 6-tet decomposition)."""
     values = grid.sdf if sdf is None else sdf
     cols = grid.color if colors is None else colors
     values = np.asarray(values, np.float64) - iso
