@@ -39,9 +39,17 @@ def _assemble_and_solve(
     w,  # [M] per-voxel data weights (0 = drop)
     subvol,  # [M] int32 subvolume id (valid)
     pairs,  # [P, 2] int32 directed neighbor pairs
-    num_subvolumes,  # static via shape of output? passed as concrete below
+    num_subvolumes,  # static
     lambda_reg,
 ):
+    """Block-sparse normal-equations solve.
+
+    The system is block-diagonal data blocks (9×9 per subvolume) + a graph
+    Laplacian ⊗ I₉ over the neighbor pairs; it is never densified. PCG with a
+    block-Jacobi (batched Cholesky) preconditioner — matching the structure
+    the reference's CGNR exploits (``lighting_svsh.cpp:321-342``) while
+    scaling to thousands of subvolumes with O(S·81) memory.
+    """
     S = num_subvolumes
     wsum = jnp.sum(w)
     data_w = jnp.where(wsum > 0, 1.0 / wsum, 1.0) * w  # [M]
@@ -50,48 +58,43 @@ def _assemble_and_solve(
     aH = H * albedo[:, None]  # [M, 9]
     outer = aH[:, :, None] * aH[:, None, :] * data_w[:, None, None]  # [M, 9, 9]
     A_blocks = jax.ops.segment_sum(outer, subvol, num_segments=S)  # [S, 9, 9]
-    b_blocks = jax.ops.segment_sum(
+    b = jax.ops.segment_sum(
         aH * (data_w * lum)[:, None], subvol, num_segments=S
     )  # [S, 9]
-
-    # assemble dense system
-    A = jnp.zeros((S * 9, S * 9))
-    idx = jnp.arange(S) * 9
-
-    def place_block(A, s):
-        return jax.lax.dynamic_update_slice(A, A_blocks[s], (idx[s], idx[s]))
-
-    A = jax.lax.fori_loop(0, S, lambda s, A: place_block(A, s), A)
 
     # graph-Laplacian regularizer over directed pairs, weight λ/P per residual
     P = pairs.shape[0]
     reg_w = jnp.where(P > 0, lambda_reg / jnp.maximum(P, 1), 0.0)
-    eye9 = jnp.eye(9) * reg_w
     i, j = pairs[:, 0], pairs[:, 1]
+    ones = jnp.ones(P, dtype=H.dtype)
+    deg = jax.ops.segment_sum(ones, i, num_segments=S) + jax.ops.segment_sum(
+        ones, j, num_segments=S
+    )  # [S]
 
-    def add_reg(p, A):
-        ii, jj = i[p] * 9, j[p] * 9
-        A = jax.lax.dynamic_update_slice(
-            A, jax.lax.dynamic_slice(A, (ii, ii), (9, 9)) + eye9, (ii, ii)
-        )
-        A = jax.lax.dynamic_update_slice(
-            A, jax.lax.dynamic_slice(A, (jj, jj), (9, 9)) + eye9, (jj, jj)
-        )
-        A = jax.lax.dynamic_update_slice(
-            A, jax.lax.dynamic_slice(A, (ii, jj), (9, 9)) - eye9, (ii, jj)
-        )
-        A = jax.lax.dynamic_update_slice(
-            A, jax.lax.dynamic_slice(A, (jj, ii), (9, 9)) - eye9, (jj, ii)
-        )
-        return A
+    jitter = 1e-10  # keeps unobserved/isolated subvolumes invertible
 
-    A = jax.lax.fori_loop(0, P, add_reg, A)
-    b = b_blocks.reshape(-1)
+    def matvec(x):  # x [S, 9]
+        y = jnp.einsum("sab,sb->sa", A_blocks, x)
+        diff = reg_w * (x[i] - x[j])  # [P, 9]
+        y = y + jax.ops.segment_sum(diff, i, num_segments=S)
+        y = y - jax.ops.segment_sum(diff, j, num_segments=S)
+        return y + jitter * x
 
-    # tiny Tikhonov jitter for unobserved/rank-deficient subvolumes
-    A = A + jnp.eye(S * 9) * 1e-10
-    x = jax.scipy.linalg.solve(A, b, assume_a="pos")
-    return x.reshape(S, 9)
+    # block-Jacobi preconditioner: per-subvolume Cholesky of the diagonal block
+    M_blocks = A_blocks + (reg_w * deg + jitter)[:, None, None] * jnp.eye(9)
+    chol = jnp.linalg.cholesky(M_blocks)  # [S, 9, 9]
+
+    def precond(r):
+        z = jax.scipy.linalg.solve_triangular(chol, r[..., None], lower=True)
+        z = jax.scipy.linalg.solve_triangular(
+            jnp.swapaxes(chol, -1, -2), z, lower=False
+        )
+        return z[..., 0]
+
+    x, _ = jax.scipy.sparse.linalg.cg(
+        matvec, b, M=precond, tol=1e-8, maxiter=max(9 * S, 100)
+    )
+    return x
 
 
 @dataclasses.dataclass
