@@ -186,7 +186,14 @@ def compute_observations_batch(
 
     3-D `iso_pts`/`normals` give each keyframe row its own point set — the
     frame-bucketed element layout of refine/blockform.py, where row k holds
-    only the slots of frame k's visible blocks."""
+    only the slots of frame k's visible blocks.
+
+    Row-compactness assumption: elements are voxel-linear within 512-slot
+    blocks, so a CHUNK of consecutive elements is one (frame, 8³ voxel
+    block) projection whose nearest-pixel taps land in a compact image-row
+    band — the property that makes the windowed kernel's first pass resolve
+    nearly all chunks. Scattered element orderings still compute exactly,
+    but degrade to serialized fallback window passes."""
     from intrinsic3d_tpu.ops.pallas.bicubic import CHUNK, nearest_sample_rows
 
     k = poses.shape[0]

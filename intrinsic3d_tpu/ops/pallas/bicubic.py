@@ -19,7 +19,9 @@ express:
   chunk's 2·WG-row window base (derived from the chunk's minimum tap row),
   which the image BlockSpec index maps consume, so each chunk DMAs only a
   64-row band of its frame from the HBM stack — the row-select dots shrink
-  from `[chunk, K·H]` to `[chunk, 2·WG]` (≈30x fewer MACs at K=8, H=240)
+  from `[chunk, K·H]` to `[chunk, 2·WG]` (the window is 2·WG = 128 rows:
+  ~1.9x fewer row-select MACs than a whole-frame window at H=240, ~15x
+  fewer than the K·H full-stack form at K=8)
   and the stack never needs to fit in VMEM (a 64-row band always does).
   Chunks whose taps overflow the window resolve in fallback passes of the
   existing multi-pass loop (rare: a chunk is one compact (frame, 8³-voxel-
@@ -254,7 +256,8 @@ bicubic_sample.defvjp(_fwd_rule, _bwd)
 # HBM and skips the fetch when consecutive chunks share it). This cuts the
 # dominant `[chunk, K·H] @ [K·H, W]` row-select dots to
 # `[chunk, 2·WG] @ [2·WG, W]` — the image stack never needs to fit in VMEM,
-# there is no K·H ceiling, and a chunk whose taps span ≤ WG−2 rows (the
+# there is no K·H ceiling, and a chunk whose tap rows spread ≤ WG − taps + 1
+# rows from its minimum tap row (the
 # common case: one 8³ voxel block's projection) is in-window on the FIRST
 # pass.
 #
@@ -270,8 +273,9 @@ bicubic_sample.defvjp(_fwd_rule, _bwd)
 # element holding the minimum row ALWAYS does: its local row is < WG, so
 # each fallback pass strictly shrinks the remainder — termination is
 # unconditional). Versus a whole-frame window this cuts the row-select dots
-# and the row one-hot build from [chunk, hpad] to [chunk, 2·WG] (~3.75x
-# fewer MACs at 240-row frames).
+# and the row one-hot build from [chunk, hpad] to [chunk, 2·WG] (~1.9x
+# fewer MACs at 240-row frames; the big win over the K·H full-stack form
+# is ~15x at K=8).
 
 WG = 64  # window granularity (rows); window = two adjacent WG-row blocks
 
@@ -364,7 +368,7 @@ def _win_fwdgrad_kernel(meta_ref, rloc_ref, ty_ref, c0_ref, tx_ref, *refs):
 
 
 def _win_prep(images, fid, x, y, active):
-    """Shared fwd/bwd prep: pad the image stack to WB-multiple rows (bf16
+    """Shared fwd/bwd prep: pad the image stack to WG-multiple rows (bf16
     hi/lo split) and chunk the per-element sample data."""
     k, h, w = images.shape
     xc = jnp.clip(x, 1.0, w - 2.001)
@@ -509,7 +513,8 @@ def _seg_run(call, outs_zero, r0, act, seg, wg, max_wb, taps=4):
 
     `call(meta, rloc, grid_len) -> tuple of [seg+1, 1, CHUNK]` wraps the
     kernel; `outs_zero` is a tuple of [seg·CHUNK] zeros that accumulates
-    selected lanes. A chunk whose taps span ≤ (2·WG − taps − WG + 1) rows
+    selected lanes. A chunk whose tap rows spread ≤ (WG − taps + 1) rows
+    from its minimum tap row
     resolves on the first pass (the common case: a chunk is one compact
     (frame, voxel-block) projection); wider spreads and mixed-frame chunks
     resolve through while-loop fallback passes — each pass always resolves

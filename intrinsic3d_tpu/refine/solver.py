@@ -24,7 +24,7 @@ Here the same algorithm is one jitted function:
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -71,6 +71,37 @@ def _tmap(f, *trees):
 
 def _tdot(a, b):
     return sum(jnp.vdot(x, y) for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)))
+
+
+def _make_spmd(axis_name: Optional[str]):
+    """SPMD reduction helpers for manual sharding (parallel/spmd.py): under
+    shard_map the voxel-shaped Params leaves (sdf/albedo) are device-LOCAL
+    bricks while poses/intr/dist are replicated — tree dots psum the local
+    part only, global-parameter reductions psum, scalars psum. With
+    `axis_name=None` every helper is the identity/single-device form."""
+    if axis_name is None:
+        return _tdot, lambda p: p, lambda x: x
+
+    def tdot(a, b):
+        local = jnp.vdot(a.sdf, b.sdf) + jnp.vdot(a.albedo, b.albedo)
+        rep = (
+            jnp.vdot(a.poses, b.poses)
+            + jnp.vdot(a.intr, b.intr)
+            + jnp.vdot(a.dist, b.dist)
+        )
+        return jax.lax.psum(local, axis_name) + rep
+
+    def psum_globals(p: Params) -> Params:
+        return p._replace(
+            poses=jax.lax.psum(p.poses, axis_name),
+            intr=jax.lax.psum(p.intr, axis_name),
+            dist=jax.lax.psum(p.dist, axis_name),
+        )
+
+    def psum_scalar(x):
+        return jax.lax.psum(x, axis_name)
+
+    return tdot, psum_globals, psum_scalar
 
 
 def _mask(m: Masks, v: Params) -> Params:
@@ -132,30 +163,31 @@ def jtj_diag(params: Params, asm: Assembly) -> Params:
 # ---------------------------------------------------------------------------
 
 
-def _pcg(matvec, precond, b: Params, iters: int, eta: float = 0.1) -> Params:
+def _pcg(matvec, precond, b: Params, iters: int, eta: float = 0.1, tdot=_tdot) -> Params:
     """Preconditioned CG with the inexact-Newton forcing-sequence exit the
     reference's CGNR uses (Ceres solves the Newton system only to a relative
-    tolerance η per LM step): stop when ‖r‖ ≤ η·‖b‖ or after `iters`."""
+    tolerance η per LM step): stop when ‖r‖ ≤ η·‖b‖ or after `iters`.
+    `tdot` is the tree inner product (psum-reduced under manual SPMD)."""
     x = _tmap(jnp.zeros_like, b)
     r = b
     z = precond(r)
     p = z
-    rz = _tdot(r, z)
-    rr0 = _tdot(b, b)
+    rz = tdot(r, z)
+    rr0 = tdot(b, b)
     tol2 = (eta * eta) * rr0
 
     def cond(state):
         x, r, p, rz, i = state
-        return (i < iters) & (_tdot(r, r) > tol2)
+        return (i < iters) & (tdot(r, r) > tol2)
 
     def body(state):
         x, r, p, rz, i = state
         ap = matvec(p)
-        alpha = rz / jnp.maximum(_tdot(p, ap), 1e-30)
+        alpha = rz / jnp.maximum(tdot(p, ap), 1e-30)
         x = _tmap(lambda xi, pi: xi + alpha * pi, x, p)
         r = _tmap(lambda ri, api: ri - alpha * api, r, ap)
         z = precond(r)
-        rz_new = _tdot(r, z)
+        rz_new = tdot(r, z)
         beta = rz_new / jnp.maximum(rz, 1e-30)
         p = _tmap(lambda zi, pi: zi + beta * pi, z, p)
         return x, r, p, rz_new, i + 1
@@ -169,7 +201,9 @@ def _pcg(matvec, precond, b: Params, iters: int, eta: float = 0.1) -> Params:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("lm_steps", "cg_iters", "cg_coeff_dtype"))
+@functools.partial(
+    jax.jit, static_argnames=("lm_steps", "cg_iters", "cg_coeff_dtype", "axis_name")
+)
 def gn_iteration(
     params: Params,
     asm: Assembly,
@@ -178,6 +212,7 @@ def gn_iteration(
     lm_steps: int = 50,
     cg_iters: int = 12,
     cg_coeff_dtype: str = "bfloat16",
+    axis_name: Optional[str] = None,
 ) -> Tuple[Params, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One relinearize→solve→accept cycle (the body of the reference's outer
     iteration, ``optimizer.cpp:119-173`` + ``nls_solver.cpp:296-337``).
@@ -188,25 +223,35 @@ def gn_iteration(
     matvec's streamed J coefficients are rounded (see `blockform.cast_lin`;
     pass "float32" for exact products).
 
+    `axis_name` enables manual-SPMD mode (called from inside shard_map —
+    parallel/spmd.py): voxel-shaped leaves are device-local bricks, and the
+    global reductions (cost scalars, pose/intrinsics/distortion gradients and
+    GN products, PCG inner products) psum over the named axis.
+
     Returns (params', cost_before, cost_after, mu', num_tries).
     """
+    tdot, psum_globals, psum_scalar = _make_spmd(axis_name)
     if isinstance(asm, blockform.BlockAssembly):
         # hand-rolled linearization: ONE reverse pass for the E_g element
         # Jacobian, dense frame-major (keyframe, slot) coefficient fields, and a matvec that is
         # pure dense math + one-hot matmuls (see blockform.BlockLin)
         cost0, lin = blockform.linearize_block(params, asm)
-        grad = blockform.jtv_block(lin, asm, (lin.r0_g, lin.r0_r, lin.r0_s, lin.r0_a))
-        diag = blockform.diag_from_lin(lin, asm)
+        cost0 = psum_scalar(cost0)
+        grad = psum_globals(
+            blockform.jtv_block(lin, asm, (lin.r0_g, lin.r0_r, lin.r0_s, lin.r0_a))
+        )
+        diag = psum_globals(blockform.diag_from_lin(lin, asm))
         if cg_coeff_dtype != "float32":
             lin = blockform.cast_lin(lin, jnp.dtype(cg_coeff_dtype))
         jlin = lambda v: blockform.jv_block(lin, asm, v)  # noqa: E731
-        jt = lambda y: (blockform.jtv_block(lin, asm, y),)  # noqa: E731
+        jt = lambda y: (psum_globals(blockform.jtv_block(lin, asm, y)),)  # noqa: E731
     else:
         r0, jlin = jax.linearize(lambda p: residual_stack(p, asm), params)
-        jt = jax.linear_transpose(jlin, params)
-        cost0 = 0.5 * jnp.sum(r0 * r0)
+        jt_raw = jax.linear_transpose(jlin, params)
+        jt = lambda y: (psum_globals(jt_raw(y)[0]),)  # noqa: E731
+        cost0 = psum_scalar(0.5 * jnp.sum(r0 * r0))
         grad = jt(r0)[0]
-        diag = diag_of(params, asm)
+        diag = psum_globals(diag_of(params, asm))
     # auto-fix parameters that appear in no residual (zero Jacobian column);
     # convert to Params so tree_maps see one pytree type
     masks = Params(*(m * (d > 0.0) for m, d in zip(masks, diag)))
@@ -229,10 +274,10 @@ def gn_iteration(
                 masks,
             )
 
-        delta = _pcg(matvec, precond, b, cg_iters)
+        delta = _pcg(matvec, precond, b, cg_iters, tdot=tdot)
         delta = _mask(masks, delta)
         cand = _tmap(lambda p, d: p + d, params, delta)
-        cost = 0.5 * jnp.sum(jnp.square(residual_stack(cand, asm)))
+        cost = psum_scalar(0.5 * jnp.sum(jnp.square(residual_stack(cand, asm))))
         return cand, cost
 
     def cond(state):

@@ -16,3 +16,14 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound per-process XLA:CPU compiler-state accumulation (the round-1
+    full-suite segfault): drop compiled executables after each test module.
+    Shapes rarely repeat across modules, so the recompile cost is small."""
+    yield
+    jax.clear_caches()

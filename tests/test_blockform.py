@@ -163,6 +163,11 @@ def test_bf16_matvec_convergence(prob, block_problem):
     np.testing.assert_allclose(
         np.asarray(p16.poses), np.asarray(p32.poses), rtol=5e-2, atol=1e-4
     )
+    # tight invariant that survives trajectory drift: where the paths END
+    # must match — bf16 must reach a final cost within 0.1% of (or below)
+    # the f32 final cost, so a real precision regression cannot hide inside
+    # the loose parameter tolerances above
+    assert costs16[-1][1] <= costs32[-1][1] * (1.0 + 1e-3), (costs16, costs32)
 
 
 def test_handrolled_linearization(prob, block_problem):

@@ -143,3 +143,92 @@ def test_windowed_sampler_under_shard_map():
     gu = jax.grad(loss(sample))((x, y))
     np.testing.assert_allclose(np.asarray(gs[0]), np.asarray(gu[0]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(gs[1]), np.asarray(gu[1]), atol=1e-5)
+
+
+def test_halo_plan_round_trip():
+    """Exchange tables: every remote row a device's stencil needs is shipped
+    by some ppermute shift and lands at its remapped ext index."""
+    from intrinsic3d_tpu.parallel.halo import build_halo_plan
+
+    rng = np.random.default_rng(0)
+    nb, n = 32, 4
+    m = nb // n
+    # random neighbor table incl. the pad row nb
+    t = rng.integers(0, nb + 1, (5, nb)).astype(np.int64)
+    hp = build_halo_plan(nb, n, [t])
+    field = rng.normal(size=(nb + 1, 3))
+    field[nb] = 0.0  # pad row
+
+    # emulate the per-shift ppermute exchange on each device p
+    for p in range(n):
+        local = field[p * m : (p + 1) * m]
+        pools = []
+        for shift, tbl in zip(hp.shifts, hp.send):
+            q = (p - shift) % n  # source whose shipment lands on p
+            src = tbl[q]
+            srcg = np.where(src == m, nb, src + q * m)
+            pools.append(field[srcg])
+        ext = np.concatenate([local] + pools + [field[nb : nb + 1]])
+        want = field[t[:, p * m : (p + 1) * m]]
+        got = ext[hp.nbr_local[0][p]]
+        np.testing.assert_array_equal(got, want)
+
+
+def test_spmd_spatial_sharding_matches_single_device(problem):
+    """The manual-SPMD spatially-sharded GN iteration (bricked parameters,
+    halo exchange, per-shard Pallas sampler, psum'd globals) reproduces the
+    single-device block solve."""
+    from intrinsic3d_tpu.grid.blocks import BlockLayout
+    from intrinsic3d_tpu.parallel.spmd import spmd_gn_iteration
+    from intrinsic3d_tpu.refine.blockform import to_block_problem
+
+    prob, asm, masks = problem
+    mu = jnp.float32(1e-4)
+    layout = BlockLayout.build(prob.grid, blocks_multiple=8)
+    bp, basm, bm = to_block_problem(
+        layout, prob.topo.coords, asm, masks, prob.params, num_obs=2
+    )
+
+    ref = gn_iteration(bp, basm, bm, mu, 3, 4)
+    ref_params, ref_c0, ref_c1 = ref[0], float(ref[1]), float(ref[2])
+
+    mesh = make_mesh(8)
+    out = spmd_gn_iteration(bp, basm, bm, mu, layout, mesh, lm_steps=3, cg_iters=4)
+    c0, c1 = float(out[1]), float(out[2])
+    np.testing.assert_allclose(c0, ref_c0, rtol=1e-5)
+    assert c1 < c0
+    np.testing.assert_allclose(c1, ref_c1, rtol=2e-2)
+    np.testing.assert_allclose(
+        np.asarray(out[0].sdf), np.asarray(ref_params.sdf), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[0].albedo), np.asarray(ref_params.albedo), atol=5e-4
+    )
+
+
+def test_spmd_halo_memory_is_surface_not_volume():
+    """Per-device parameter memory under spatial sharding at realistic
+    scale: a brick plus a halo surface — far below replication (the VERDICT
+    §4 done-bound replicated/4 at n=8). Plan-only (host numpy): a spherical
+    shell of ~2.4k blocks, the shape of a real fused scene."""
+    from intrinsic3d_tpu.grid.blocks import BlockLayout
+    from intrinsic3d_tpu.grid.voxel_grid import VoxelGrid
+    from intrinsic3d_tpu.parallel.spmd import make_sharded_plans
+    from intrinsic3d_tpu.refine.blockform import layout_plans
+
+    # shell of 8³ blocks on a sphere surface: block coords at radius ~14
+    r = np.arange(-16, 17)
+    X, Y, Z = np.meshgrid(r, r, r, indexing="ij")
+    bc = np.stack([X, Y, Z], -1).reshape(-1, 3)
+    keep = np.abs(np.linalg.norm(bc, axis=1) - 14.0) < 1.3
+    bc = bc[keep]
+    # one voxel per block is enough to activate the block
+    coords = (bc * 8).astype(np.int32)
+    grid = VoxelGrid.from_coords(0.004, coords)
+    layout = BlockLayout.build(grid, blocks_multiple=8)
+    sdf_plan, alb_plan = layout_plans(layout)
+    hp, _ = make_sharded_plans(layout, (sdf_plan, alb_plan), 8)
+    nb = layout.num_blocks
+    per_device_rows = hp.m + hp.pool_rows  # brick + actual halo pools
+    assert nb > 2000
+    assert per_device_rows < nb / 4, (per_device_rows, nb, hp.shifts, hp.hs)
