@@ -1,0 +1,185 @@
+"""End-to-end pipeline wall-clock benchmark at realistic scale.
+
+Runs the COMPLETE three-stage pipeline the reference ships as its three
+binaries (SURVEY §2.1) — keyframe selection → TSDF fusion → full double
+coarse-to-fine joint refinement — on a 640×480 × 30-frame orbit capture of an
+analytic textured sphere, with 3 grid levels (voxel 4 mm → 1 mm, the
+reference's production schedule from ``data/fusion.yml``/``data/intrinsic3d.yml``)
+and the reference's solver budget (10 outer iterations per level, top-5
+observations). Reports total seconds + per-stage breakdown.
+
+This is the number the BASELINE target is phrased in: the reference is
+"computationally very demanding" (hours of CPU wall-clock, ≤32 GB RAM,
+``README.md:139,166``); the target is < 1/10 of its measured wall-clock on
+one chip. Usage:
+
+    python bench_pipeline.py [--frames 30] [--voxel 0.004] [--levels 3]
+                             [--iters 10] [--radius 0.12] [--size 640x480]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def build_dataset(num_frames, width, height, center, radius, seed=0):
+    """Orbit capture: cameras on a ring around the sphere, Lambertian SH
+    shading with the package's default albedo texture."""
+    import jax.numpy as jnp
+
+    from intrinsic3d_tpu.camera import Camera
+    from intrinsic3d_tpu.io.memory_sensor import MemorySensor
+    from intrinsic3d_tpu.synthetic import (
+        DEFAULT_LIGHT,
+        look_at_pose,
+        render_shading_image,
+    )
+
+    f = 0.92 * max(width, height)
+    cam = Camera.create(f, f, (width - 1) / 2.0, (height - 1) / 2.0, width, height)
+    rng = np.random.default_rng(seed)
+    colors, depths, poses = [], [], []
+    for i in range(num_frames):
+        ang = 2.0 * np.pi * i / num_frames
+        # orbit in the xz plane with mild elevation wobble — every frame sees
+        # the object (the K-scaling worst case VERDICT §4 calls out)
+        eye = np.asarray(center) + 3.4 * radius * np.array(
+            [np.sin(ang), 0.35 * np.sin(2.1 * ang + 0.5), -np.cos(ang)]
+        )
+        T = look_at_pose(eye, center)
+        img, depth = render_shading_image(cam, T, center, radius, DEFAULT_LIGHT)
+        # mild blur on some frames so keyframe selection has signal
+        if i % 3 != 0:
+            img = (np.roll(img, 1, 0) + img + np.roll(img, -1, 0)) / 3.0
+            img = (np.roll(img, 1, 1) + img + np.roll(img, -1, 1)) / 3.0
+        img = np.clip(img + rng.normal(0.0, 0.003, img.shape), 0.0, 1.0)
+        colors.append(np.stack([img] * 3, axis=-1).astype(np.float32))
+        depths.append(depth)
+        poses.append(T)
+    return MemorySensor(cam, cam, colors, depths, poses, depth_min=0.1, depth_max=5.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=30)
+    ap.add_argument("--size", default="640x480")
+    ap.add_argument("--voxel", type=float, default=0.004)
+    ap.add_argument("--levels", type=int, default=3)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--radius", type=float, default=0.12)
+    ap.add_argument("--window", type=int, default=3)
+    ap.add_argument("--num-obs", type=int, default=5)
+    ap.add_argument("--cg-dtype", default="bfloat16")
+    args = ap.parse_args()
+    width, height = (int(v) for v in args.size.split("x"))
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+    from intrinsic3d_tpu.apps import app_fusion, app_keyframes
+    from intrinsic3d_tpu.config import FusionConfig, KeyframesConfig, RefinementConfig
+    from intrinsic3d_tpu.mesh import extract_surface
+    from intrinsic3d_tpu.mesh.metrics import mesh_error_vs_analytic
+    from intrinsic3d_tpu.refine.intrinsic3d import Intrinsic3D
+    from intrinsic3d_tpu.synthetic import DEFAULT_CENTER
+
+    center = np.asarray(DEFAULT_CENTER)
+
+    t_ds = time.perf_counter()
+    sensor = build_dataset(args.frames, width, height, center, args.radius)
+    dataset_s = time.perf_counter() - t_ds
+
+    # --- stage 1: keyframe selection (AppKeyframes) -------------------------
+    t0 = time.perf_counter()
+    kf_cfg = KeyframesConfig(window_size=args.window, filename="")
+    sel = app_keyframes.run(sensor, kf_cfg)
+    kf_ids = sel.keyframe_ids()
+    keyframes_s = time.perf_counter() - t0
+
+    # --- stage 2: TSDF fusion (AppFusion: all frames, reference default) ----
+    t0 = time.perf_counter()
+    fu_cfg = FusionConfig(voxel_size=args.voxel, discont_window_size=2)
+    grid = app_fusion.run(sensor, fu_cfg)
+    verts_f, faces_f, _ = extract_surface(grid)
+    fusion_s = time.perf_counter() - t0
+
+    # --- stage 3: joint refinement (AppIntrinsic3D) -------------------------
+    t0 = time.perf_counter()
+    cfg = RefinementConfig(
+        num_grid_levels=args.levels,
+        num_rgbd_levels=3,
+        num_observations=args.num_obs,
+        occlusion_distance=0.02,
+        iterations=args.iters,
+        lm_steps=50,
+        lambda_g=0.2,
+        lambda_r0=80.0,
+        lambda_r1=10.0,
+        lambda_s0=120.0,
+        lambda_s1=10.0,
+        lambda_a=0.1,
+        fix_poses=False,
+        fix_intrinsics=True,
+        fix_distortion=True,
+    )
+    engine = Intrinsic3D(cfg, sensor, kf_ids)
+    refined = engine.refine(grid)
+    import jax.numpy as jnp  # noqa: F401
+
+    refinement_s = time.perf_counter() - t0
+
+    # --- output quality: refined mesh vs the analytic sphere ----------------
+    verts_r, faces_r, _ = extract_surface(
+        refined, sdf=refined.sdf_refined, colors=refined.color
+    )
+    err = mesh_error_vs_analytic(
+        verts_r,
+        faces_r,
+        lambda p: np.linalg.norm(p - center, axis=-1) - args.radius,
+        num_samples=20000,
+    )
+
+    total_s = keyframes_s + fusion_s + refinement_s
+    result = {
+        "metric": "pipeline_wall_clock_s",
+        "value": round(total_s, 2),
+        "unit": "s (keyframes+fusion+refinement, end to end)",
+        # anchor: the reference README calls the refinement "computationally
+        # very demanding" (hours); BASELINE.md's measurable bound is <1/10 of
+        # a measured reference run. With no reference build possible in this
+        # container, report the ratio against a deliberately conservative
+        # 1-hour reference wall-clock for this workload size.
+        "vs_baseline": round(3600.0 / max(total_s, 1e-9), 2),
+        "detail": {
+            "stages_s": {
+                "keyframes": round(keyframes_s, 2),
+                "fusion": round(fusion_s, 2),
+                "refinement": round(refinement_s, 2),
+            },
+            "dataset_gen_s": round(dataset_s, 2),
+            "frames": args.frames,
+            "keyframes_selected": len(kf_ids),
+            "image": f"{width}x{height}",
+            "grid_levels": args.levels,
+            "fused_voxels": int(grid.num_voxels),
+            "final_voxels": int(refined.num_voxels),
+            "final_voxel_size_m": float(refined.voxel_size),
+            "fused_mesh_faces": int(len(faces_f)),
+            "refined_mesh_faces": int(len(faces_r)),
+            "refined_mesh_err_rms_m": round(err["rms"], 6),
+            "refined_mesh_err_p95_m": round(err["p95"], 6),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
