@@ -21,9 +21,18 @@ from __future__ import annotations
 
 import argparse
 import json
+import logging
+import sys
 import time
 
 import numpy as np
+
+
+def _progress(msg: str) -> None:
+    print(f"[bench_pipeline +{time.perf_counter() - _T0:8.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
 
 
 def build_dataset(num_frames, width, height, center, radius, seed=0):
@@ -60,7 +69,7 @@ def build_dataset(num_frames, width, height, center, radius, seed=0):
         colors.append(np.stack([img] * 3, axis=-1).astype(np.float32))
         depths.append(depth)
         poses.append(T)
-    return MemorySensor(cam, cam, colors, depths, poses, depth_min=0.1, depth_max=5.0)
+    return MemorySensor(cam, cam, colors, depths, poses, depth_min=0.1, depth_max=2.0)
 
 
 def main():
@@ -92,11 +101,14 @@ def main():
 
     center = np.asarray(DEFAULT_CENTER)
 
+    logging.basicConfig(level=logging.INFO, format="%(message)s", stream=sys.stderr)
+    _progress("generating dataset ...")
     t_ds = time.perf_counter()
     sensor = build_dataset(args.frames, width, height, center, args.radius)
     dataset_s = time.perf_counter() - t_ds
 
     # --- stage 1: keyframe selection (AppKeyframes) -------------------------
+    _progress("stage 1: keyframe selection ...")
     t0 = time.perf_counter()
     kf_cfg = KeyframesConfig(window_size=args.window, filename="")
     sel = app_keyframes.run(sensor, kf_cfg)
@@ -104,13 +116,27 @@ def main():
     keyframes_s = time.perf_counter() - t0
 
     # --- stage 2: TSDF fusion (AppFusion: all frames, reference default) ----
+    _progress("stage 2: TSDF fusion ...")
     t0 = time.perf_counter()
-    fu_cfg = FusionConfig(voxel_size=args.voxel, discont_window_size=2)
+    # crop bounds around the object, as the reference datasets prescribe
+    # (reference README.md:143-150 lists per-dataset crop volumes)
+    r = 2.5 * args.radius
+    fu_cfg = FusionConfig(
+        voxel_size=args.voxel,
+        discont_window_size=2,
+        clip_x0=float(center[0] - r),
+        clip_x1=float(center[0] + r),
+        clip_y0=float(center[1] - r),
+        clip_y1=float(center[1] + r),
+        clip_z0=float(center[2] - r),
+        clip_z1=float(center[2] + r),
+    )
     grid = app_fusion.run(sensor, fu_cfg)
     verts_f, faces_f, _ = extract_surface(grid)
     fusion_s = time.perf_counter() - t0
 
     # --- stage 3: joint refinement (AppIntrinsic3D) -------------------------
+    _progress("stage 3: joint refinement ...")
     t0 = time.perf_counter()
     cfg = RefinementConfig(
         num_grid_levels=args.levels,
@@ -135,6 +161,7 @@ def main():
 
     refinement_s = time.perf_counter() - t0
 
+    _progress("extracting refined mesh + error metrics ...")
     # --- output quality: refined mesh vs the analytic sphere ----------------
     verts_r, faces_r, _ = extract_surface(
         refined, sdf=refined.sdf_refined, colors=refined.color

@@ -485,6 +485,55 @@ def diag_from_lin(lin: BlockLin, asm: BlockAssembly) -> Params:
 # ---------------------------------------------------------------------------
 
 
+def _depth_interval_mips(depth: np.ndarray):
+    """Conservative min/max mip pyramid of a depth map (invalid = 0 pixels
+    carry +inf/-inf so they never shrink the interval). Level l cell (i, j)
+    bounds the valid depths of pixels [i·2^l, (i+1)·2^l) × [j·2^l, ...)."""
+    valid = depth > 0.0
+    dmin = np.where(valid, depth, np.inf).astype(np.float64)
+    dmax = np.where(valid, depth, -np.inf).astype(np.float64)
+    mips = [(dmin, dmax)]
+    while max(dmin.shape) > 1:
+        h, w = dmin.shape
+        ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+
+        def pool(a, f, fill):
+            p = np.full((ph, pw), fill, a.dtype)
+            p[:h, :w] = a
+            return f(f(p.reshape(ph // 2, 2, pw // 2, 2), axis=3), axis=1)
+
+        dmin = pool(dmin, np.min, np.inf)
+        dmax = pool(dmax, np.max, -np.inf)
+        mips.append((dmin, dmax))
+    return mips
+
+
+def _footprint_depth_interval(mips, u0, u1, v0, v1):
+    """Per-block [Dmin, Dmax] of valid depths inside pixel rects (vectorized;
+    HiZ-style: pick the mip level where each rect spans ≤ 2×2 cells and
+    combine those ≤ 4 cells — strictly conservative since cells round out)."""
+    n = len(u0)
+    dmin = np.full(n, np.inf)
+    dmax = np.full(n, -np.inf)
+    span = np.maximum(u1 - u0, v1 - v0)
+    lvl = np.clip(np.ceil(np.log2(np.maximum(span, 1))).astype(int), 0, len(mips) - 1)
+    for l in np.unique(lvl):
+        sel = lvl == l
+        mn, mx = mips[l]
+        h, w = mn.shape
+        i0 = np.clip(v0[sel] >> l, 0, h - 1)
+        j0 = np.clip(u0[sel] >> l, 0, w - 1)
+        i1 = np.clip(i0 + 1, 0, h - 1)
+        j1 = np.clip(j0 + 1, 0, w - 1)
+        dmin[sel] = np.minimum(
+            np.minimum(mn[i0, j0], mn[i0, j1]), np.minimum(mn[i1, j0], mn[i1, j1])
+        )
+        dmax[sel] = np.maximum(
+            np.maximum(mx[i0, j0], mx[i0, j1]), np.maximum(mx[i1, j0], mx[i1, j1])
+        )
+    return dmin, dmax
+
+
 def build_frame_buckets(
     layout: BlockLayout,
     poses6: np.ndarray,  # [K, 6] world→cam angle-axis + t
@@ -494,10 +543,14 @@ def build_frame_buckets(
     voxel_size: float,
     margin_px: float = 48.0,
     round_to: int = 8,
+    depths: Optional[np.ndarray] = None,  # [K, H, W] level depth maps
+    occlusion: float = 0.0,
+    depth_slack: float = 0.05,
+    max_frames_per_block: int = 0,
 ) -> np.ndarray:
     """Per-frame visible-block lists from block-AABB frustum projection.
 
-    Host-side, once per (grid, pyramid) level: block k's bucket is every
+    Host-side, once per (grid, pyramid) level: frame k's bucket is every
     block whose 8 voxel-AABB corners project (pinhole, no distortion) into
     the image rect inflated by `margin_px` — the margin absorbs distortion,
     the iso-projection offset (≤ truncation), and pose drift across the
@@ -505,6 +558,24 @@ def build_frame_buckets(
     straddling the z≈0 plane is always included. Observations outside the
     bucket are geometrically impossible (they cannot project in-bounds), so
     the bucketed energy equals the dense frame-major energy.
+
+    With `depths`, frustum-passing blocks are additionally OCCLUSION-culled:
+    the device observation weight needs `|depth(u,v) − z| ≤ occlusion`
+    (``colorization.cpp:215-270``), so a block whose camera-z interval misses
+    the valid-depth interval of its pixel footprint (inflated by
+    `occlusion + depth_slack`; footprint intervals from conservative min/max
+    depth mips) can only produce weight-0 elements — dropping it leaves the
+    energy EXACTLY unchanged. For an orbit capture this removes the far
+    hemisphere (~2x fewer elements), which frustum projection alone cannot.
+
+    `max_frames_per_block` > 0 additionally caps each block's candidate
+    frames to the M closest (by footprint-center depth) observable ones —
+    the TPU answer to "element fields must not scale with the total keyframe
+    count K" (BENCH_NOTES "K ≫ num_obs"): total elements are bounded by
+    M·nb·B³ for ANY K. With M ≥ num_obs + margin this is a benign
+    approximation of the reference's per-voxel top-N over all K frames (the
+    dropped frames are the block's worst views); exactness tests should
+    leave it 0.
 
     Returns `bmap [K, NBc] int32` (padding = num_blocks, the pad row)."""
     from intrinsic3d_tpu.mathutil import pose_vec_to_matrix
@@ -519,7 +590,8 @@ def build_frame_buckets(
     corners = lo[:, None, :] + sel[None, :, :] * (b * voxel_size)  # [nb, 8, 3]
 
     buckets = []
-    for pose in np.asarray(poses6, np.float64):
+    scores = []  # per frame: [nb] score of observable blocks (0 = not in bucket)
+    for ki, pose in enumerate(np.asarray(poses6, np.float64)):
         t_mat = pose_vec_to_matrix(pose)
         pc = corners @ np.asarray(t_mat)[:3, :3].T + np.asarray(t_mat)[:3, 3]
         z = pc[..., 2]
@@ -540,7 +612,37 @@ def build_frame_buckets(
             & (v_max >= -margin_px)
             & (v_min <= height - 1 + margin_px)
         )
-        buckets.append(np.flatnonzero((any_front & in_rect) | straddle))
+        keep = (any_front & in_rect) | straddle
+        z_lo = np.min(np.where(front, z, big), axis=1)
+        z_hi = np.max(np.where(front, z, -big), axis=1)
+
+        if depths is not None:
+            mips = _depth_interval_mips(np.asarray(depths[ki]))
+            pad = 0.5 * margin_px  # pose-drift slack on the pixel side
+            u0 = np.clip(np.floor(u_min - pad).astype(np.int64), 0, width - 1)
+            u1 = np.clip(np.ceil(u_max + pad).astype(np.int64), 0, width - 1)
+            v0 = np.clip(np.floor(v_min - pad).astype(np.int64), 0, height - 1)
+            v1 = np.clip(np.ceil(v_max + pad).astype(np.int64), 0, height - 1)
+            dmin, dmax = _footprint_depth_interval(mips, u0, u1, v0, v1)
+            slack = occlusion + depth_slack
+            observable = (dmin - slack <= z_hi) & (dmax + slack >= z_lo)
+            # blocks straddling z≈0 keep their conservative free pass
+            keep = (keep & observable) | straddle
+
+        buckets.append(np.flatnonzero(keep))
+        if max_frames_per_block > 0:
+            s = np.where(keep, 1.0 / np.maximum(0.5 * (z_lo + z_hi), 1e-3) ** 2, 0.0)
+            scores.append(np.where(straddle, np.inf, s))
+
+    if max_frames_per_block > 0 and len(buckets) > max_frames_per_block:
+        m = max_frames_per_block
+        sc = np.stack(scores, axis=0)  # [K, nb]
+        # per block: keep the M best-scoring frames (ties -> lower frame id)
+        order = np.argsort(-sc, axis=0, kind="stable")  # [K, nb]
+        rank = np.empty_like(order)
+        np.put_along_axis(rank, order, np.arange(len(buckets))[:, None], axis=0)
+        keep_kb = (rank < m) & (sc > 0.0)
+        buckets = [np.flatnonzero(keep_kb[k]) for k in range(len(buckets))]
 
     nbc = max((len(bk) for bk in buckets), default=1)
     nbc = max(round_to, -(-max(nbc, 1) // round_to) * round_to)

@@ -31,6 +31,14 @@ from intrinsic3d_tpu.refine.solver import gn_iteration
 
 log = logging.getLogger("intrinsic3d")
 
+# peak HLO-temp bytes per dense E_g element through the jitted gn_iteration
+# graph (measured: 20.9 GB at K=10 × D=2.92M on TPU v5e, incl. padding and
+# remat temporaries), and the budget above which the dense frame-major
+# layout must yield to bucketing regardless of its ~2x per-element stencil
+# overhead (v5e HBM is 15.75 GB; leave room for images + persistent fields)
+_EG_DENSE_BYTES_PER_ELEMENT = 720
+_EG_DENSE_HBM_BUDGET = 11e9
+
 
 @dataclasses.dataclass
 class OptimizeStats:
@@ -90,11 +98,20 @@ def optimize_level(
             albedo=table_to_dense(layout, params.albedo),
         )
         # frame-bucketed E_g elements: worth the ~2x per-element stencil
-        # traffic only when per-frame visibility is a fraction of the grid —
-        # the many-keyframe regime where the dense [K, D] layout would scale
-        # with the full keyframe count (BENCH_NOTES "K ≫ num_obs")
+        # traffic when per-frame visibility is a fraction of the grid (the
+        # many-keyframe regime where the dense [K, D] layout would scale
+        # with the full keyframe count, BENCH_NOTES "K ≫ num_obs") — and
+        # REQUIRED when the dense fields would blow the HBM budget (the
+        # finest grid level at production scale: ~700 B/element through the
+        # jitted gn_iteration graph, measured on v5e at 1.05M voxels).
         bmap = None
         if getattr(cfg, "frame_bucketing", "auto") != "never":
+            k = int(params.poses.shape[0])
+            # occlusion culling is exact (weight-0 elements only); the
+            # per-block frame cap bounds elements at M·nb·B³ independent of
+            # K — enable it once K exceeds the cap (benign approximation of
+            # the per-voxel top-N, see build_frame_buckets)
+            cap = cfg.num_observations + 3
             fb = build_frame_buckets(
                 layout,
                 np.asarray(params.poses),
@@ -103,14 +120,21 @@ def optimize_level(
                 h,
                 grid.voxel_size,
                 margin_px=0.15 * max(w, h),
+                depths=np.asarray(depths_level),
+                occlusion=cfg.occlusion_distance,
+                max_frames_per_block=cap if k > cap else 0,
             )
-            if cfg.frame_bucketing == "always" or 2 * fb.shape[1] <= layout.num_blocks:
+            dense_bytes = k * (layout.num_blocks * 512) * _EG_DENSE_BYTES_PER_ELEMENT
+            win_speed = 2 * fb.shape[1] <= layout.num_blocks
+            win_memory = dense_bytes > _EG_DENSE_HBM_BUDGET and fb.shape[1] < layout.num_blocks
+            if cfg.frame_bucketing == "always" or win_speed or win_memory:
                 bmap = jnp.asarray(fb)
                 log.info(
-                    "  frame buckets: %d blocks/frame of %d (%.0f%% coverage)",
+                    "  frame buckets: %d blocks/frame of %d (%.0f%% coverage%s)",
                     fb.shape[1],
                     layout.num_blocks,
                     100.0 * fb.shape[1] / layout.num_blocks,
+                    ", memory-forced" if (win_memory and not win_speed) else "",
                 )
 
     for itr in range(cfg.iterations):

@@ -232,3 +232,98 @@ def test_sharded_bucketed_gn_step(pair):
     np.testing.assert_allclose(float(out[1]), float(ref[1]), rtol=1e-5)
     assert float(out[2]) < float(out[1])
     np.testing.assert_allclose(float(out[2]), float(ref[2]), rtol=2e-2)
+
+
+def test_occlusion_culling_shrinks_buckets_exactly(prob):
+    """Depth-occlusion culling drops far-hemisphere blocks (frustum projection
+    alone cannot) while leaving the bucketed energy EXACTLY equal: culled
+    (frame, block) pairs can only hold weight-0 elements."""
+    layout = BlockLayout.build(prob.grid)
+    st = build_level_static(layout, prob.grid, prob.topo, prob.voxel_sh)
+    sdf_plan, alb_plan = blockform.layout_plans(layout)
+    bp = prob.params._replace(
+        sdf=blockform.table_to_dense(layout, prob.params.sdf),
+        albedo=blockform.table_to_dense(layout, prob.params.albedo),
+    )
+    cfg = prob.cfg
+    w, h = int(prob.images.shape[2]), int(prob.images.shape[1])
+    common = dict(
+        layout=layout,
+        poses6=np.asarray(prob.params.poses),
+        intr4=np.asarray(prob.params.intr),
+        width=w,
+        height=h,
+        voxel_size=prob.grid.voxel_size,
+    )
+    bm_frustum = blockform.build_frame_buckets(**common)
+    bm_occl = blockform.build_frame_buckets(
+        **common, depths=np.asarray(prob.depths), occlusion=cfg.occlusion_distance
+    )
+    nb = layout.num_blocks
+    n_frustum = int(np.sum(bm_frustum < nb))
+    n_occl = int(np.sum(bm_occl < nb))
+    assert n_occl < 0.85 * n_frustum, (n_occl, n_frustum)
+
+    args = (
+        st, sdf_plan, alb_plan, bp, prob.depths, prob.images,
+        jnp.float32(1.0), jnp.float32(prob.grid.voxel_size),
+        jnp.float32(prob.grid.truncation), jnp.float32(prob.thres_shell),
+        jnp.float32(cfg.occlusion_distance),
+        jnp.asarray([cfg.lambda_g, 10.0, 10.0, cfg.lambda_a], jnp.float32),
+    )
+    kw = dict(num_obs=2, width=w, height=h)
+    asm_d, m_d = device_assembly(*args, **kw)
+    asm_o, m_o = device_assembly(*args, **kw, bmap=jnp.asarray(bm_occl))
+    rd = blockform.block_all_residuals(bp, asm_d, masked=False)
+    ro = blockform.block_all_residuals(bp, asm_o, masked=False)
+    np.testing.assert_allclose(
+        float(jnp.sum(rd * rd)), float(jnp.sum(ro * ro)), rtol=1e-6
+    )
+
+
+def test_per_block_frame_cap_bounds_elements(prob):
+    """`max_frames_per_block=M` bounds every block to M candidate frames (the
+    K-scaling guarantee: elements <= M*nb*B^3 for any K) and stays a benign
+    approximation: a GN step's costs land within a few percent of dense."""
+    layout = BlockLayout.build(prob.grid)
+    st = build_level_static(layout, prob.grid, prob.topo, prob.voxel_sh)
+    sdf_plan, alb_plan = blockform.layout_plans(layout)
+    bp = prob.params._replace(
+        sdf=blockform.table_to_dense(layout, prob.params.sdf),
+        albedo=blockform.table_to_dense(layout, prob.params.albedo),
+    )
+    cfg = prob.cfg
+    w, h = int(prob.images.shape[2]), int(prob.images.shape[1])
+    bm = blockform.build_frame_buckets(
+        layout,
+        np.asarray(prob.params.poses),
+        np.asarray(prob.params.intr),
+        w,
+        h,
+        prob.grid.voxel_size,
+        depths=np.asarray(prob.depths),
+        occlusion=cfg.occlusion_distance,
+        max_frames_per_block=2,
+    )
+    nb = layout.num_blocks
+    # every block listed by at most M=2 of the K=3 frames
+    counts = np.zeros(nb + 1, np.int64)
+    for k in range(bm.shape[0]):
+        np.add.at(counts, bm[k], 1)
+    assert counts[:nb].max() <= 2
+
+    args = (
+        st, sdf_plan, alb_plan, bp, prob.depths, prob.images,
+        jnp.float32(1.0), jnp.float32(prob.grid.voxel_size),
+        jnp.float32(prob.grid.truncation), jnp.float32(prob.thres_shell),
+        jnp.float32(cfg.occlusion_distance),
+        jnp.asarray([cfg.lambda_g, 10.0, 10.0, cfg.lambda_a], jnp.float32),
+    )
+    kw = dict(num_obs=2, width=w, height=h)
+    asm_d, m_d = device_assembly(*args, **kw)
+    asm_c, m_c = device_assembly(*args, **kw, bmap=jnp.asarray(bm))
+    out_d = gn_iteration(bp, asm_d, m_d, jnp.float32(1e-4), 3, 4)
+    out_c = gn_iteration(bp, asm_c, m_c, jnp.float32(1e-4), 3, 4)
+    # capped candidates drop the worst views only: costs within a few percent
+    np.testing.assert_allclose(float(out_c[1]), float(out_d[1]), rtol=0.05)
+    assert float(out_c[2]) < float(out_c[1])  # still makes progress
