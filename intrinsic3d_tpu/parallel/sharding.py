@@ -134,7 +134,7 @@ def shard_block_problem(bparams, basm, bmasks, mesh: Mesh, axis: str = "data"):
         return jax.device_put(x, sh)
 
     basm_s = basm._replace(
-        eg_w=put(basm.eg_w, row1),
+        eg_w=put(basm.eg_w, mid),
         eg_sh=put(basm.eg_sh, row1),
         eg_vpos=put(basm.eg_vpos, row1),
         # frame buckets replicate (block-row index table, small); the bucketed

@@ -244,7 +244,8 @@ def spmd_gn_iteration(
 
     # specs: block-axis sharding for voxel-shaped data, replication for globals
     blk = P(axis, None)
-    col = P(None, axis)  # [C, D] per-slot fields / [K, D] element fields
+    col = P(None, axis)  # [C, D] per-slot fields
+    mid = P(None, axis, None)  # [K, nb, B³] element fields (block axis shards)
     rep = P()
 
     p_specs = Params(sdf=blk, albedo=blk, poses=rep, intr=rep, dist=rep)
@@ -262,7 +263,7 @@ def spmd_gn_iteration(
     plan_spec_sdf = plan_spec(sdf_plan_s)
     plan_spec_alb = plan_spec(alb_plan_s)
     asm_specs = BlockAssembly(
-        eg_w=col,
+        eg_w=mid,
         eg_sh=col,
         eg_vpos=col,
         sdf_plan=plan_spec_sdf,
@@ -336,7 +337,7 @@ def place_spmd_problem(bparams, basm, bmasks, mesh: Mesh, axis: str = "data"):
         return jax.device_put(x, sh)
 
     basm_s = basm._replace(
-        eg_w=put(basm.eg_w, col),
+        eg_w=put(basm.eg_w, mid),
         eg_sh=put(basm.eg_sh, col),
         eg_vpos=put(basm.eg_vpos, col),
         er_w=put(basm.er_w, blk),

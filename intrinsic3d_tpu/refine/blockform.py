@@ -18,9 +18,12 @@ GN iteration (BENCH_NOTES.md). This module re-lays the problem out the TPU way
   6-neighborhood pair (v, v+e_d) is visited exactly once, preserving the
   reference's `voxels_added` dedup, ``optimizer.cpp:268-274``);
 - **E_g** (``shading_cost.h:132-197``) is evaluated DENSELY over
-  FRAME-MAJOR (keyframe k, block-slot s) elements `[K, nb·B³]` — element
-  (k, s) is the observation of voxel s by keyframe k, weight 0 where frame k
-  is not among the voxel's top-N observations. No element compaction, no
+  FRAME-MAJOR (keyframe k, block b, slot s) elements `[K, nb, B³]` — element
+  (k, b, s) is the observation of block b's voxel s by keyframe k, weight 0
+  where frame k is not among the voxel's top-N observations. The keyframe
+  axis stays MAJOR so the (8,128) tiling lands on (nb, B³) — a flat
+  `[K, nb·B³]` grid would sublane-pad K itself to 8 (measured 1.6x HBM on
+  every element temp at K=10). No element compaction, no
   gathers, no scatters: the per-element stencil values are the shifted
   stacks broadcast over k, the frame index is the ROW INDEX (so the pose
   "gather" is a plain broadcast of `poses[k]` and its transpose a per-row
@@ -62,21 +65,21 @@ _RING6 = _PLUS + ((-1, 0, 0), (0, -1, 0), (0, 0, -1))
 class BlockAssembly(NamedTuple):
     """Static per-outer-iteration problem data in flat block-dense layout.
 
-    E_g elements are dense FRAME-MAJOR over (keyframe, block-slot):
-    `[K, nb·B³]` — the keyframe index of an element IS its row index.
+    E_g elements are dense FRAME-MAJOR over (keyframe, block, slot):
+    `[K, nb, B³]` — the keyframe index of an element IS its leading index.
 
     With `bmap` set (FRAME-BUCKETED layout, for scenes whose keyframe count K
     far exceeds the per-voxel observation cap — BENCH_NOTES "K ≫ num_obs"),
     row k's columns cover only the NBc blocks of frame k's visibility bucket:
-    element (k, j·B³+s) is the observation of block `bmap[k, j]`'s slot s by
-    keyframe k, so `eg_w` is `[K, NBc·B³]` and every per-element stencil/
+    element (k, j, s) is the observation of block `bmap[k, j]`'s slot s by
+    keyframe k, so `eg_w` is `[K, NBc, B³]` and every per-element stencil/
     per-voxel value is fetched by a BLOCK-ROW gather `field[:, bmap, :]`
     (contiguous 2 KB rows — not per-element gathers). `bmap` padding entries
     equal `nb` and index the all-zero pad row of `[nb+1, B³]` fields, so
     padded columns carry weight 0 by construction. Rows stay frame-uniform,
     preserving the windowed Pallas sampler's chunk contract (B³ = CHUNK)."""
 
-    eg_w: jnp.ndarray  # [K, D] (or [K, NBc·B³]) observation·shell weight (0 = inactive)
+    eg_w: jnp.ndarray  # [K, nb, B³] (or [K, NBc, B³]) observation·shell weight (0 = inactive)
     eg_sh: jnp.ndarray  # [9, D] per-voxel interpolated SH coefficients (per-slot)
     eg_vpos: jnp.ndarray  # [3, D] int32 voxel coords (0 on empty slots)
     # stencil shift plans (one-hot matmul decompositions)
@@ -96,21 +99,30 @@ class BlockAssembly(NamedTuple):
     bmap: Optional[jnp.ndarray] = None
 
 
-def _fid_rows(k: int, d: int) -> jnp.ndarray:
-    """Per-element keyframe index of the frame-major layout: the row index."""
-    return jax.lax.broadcasted_iota(jnp.int32, (k, d), 0)
+def _fid_rows(k: int, kb: int, s: int) -> jnp.ndarray:
+    """Per-element keyframe index of the frame-major layout: the row index.
+
+    Element arrays are `[K, kb, B³]` (kb = nb dense / NBc bucketed): keeping
+    the keyframe axis MAJOR and (block, slot) as the tiled minor pair means
+    the (8,128) TPU tiling pads only kb up to a multiple of 8 — a flat
+    `[K, kb·B³]` layout tiles (K, D) instead and pads K itself to 8, a
+    measured 1.6x HBM expansion of every element temp at K=10."""
+    return jax.lax.broadcasted_iota(jnp.int32, (k, kb, s), 0)
 
 
 def _eg_dense(params_pose_intr_dist, sdf10, alb4, asm: BlockAssembly, validity_only=False, masked=False):
     """Dense E_g forward: all arguments per (keyframe, slot/bucket) element."""
     poses, intr, dist = params_pose_intr_dist
-    k, d = asm.eg_w.shape
-    pose6 = jnp.broadcast_to(poses[:, None, :], (k, d, 6))
+    k, kb, s = asm.eg_w.shape
+    pose6 = jnp.broadcast_to(poses[:, None, None, :], (k, kb, s, 6))
     if asm.bmap is None:
-        sh9 = jnp.broadcast_to(asm.eg_sh.T[None], (k, d, 9))
-        vpos = jnp.broadcast_to(asm.eg_vpos.T[None], (k, d, 3))
+        sh9 = jnp.broadcast_to(
+            jnp.moveaxis(asm.eg_sh.reshape(9, kb, s), 0, -1)[None], (k, kb, s, 9)
+        )
+        vpos = jnp.broadcast_to(
+            jnp.moveaxis(asm.eg_vpos.reshape(3, kb, s), 0, -1)[None], (k, kb, s, 3)
+        )
     else:
-        s = asm.er_w.shape[1]
         sh9 = _perslot_bucket(asm.eg_sh, asm.bmap, s)
         vpos = _perslot_bucket(asm.eg_vpos, asm.bmap, s)
     r = eg_core(
@@ -121,7 +133,7 @@ def _eg_dense(params_pose_intr_dist, sdf10, alb4, asm: BlockAssembly, validity_o
         dist,
         sh9,
         vpos,
-        _fid_rows(k, d),
+        _fid_rows(k, kb, s),
         asm.images,
         asm.pyr_scale,
         asm.voxel_size,
@@ -129,14 +141,14 @@ def _eg_dense(params_pose_intr_dist, sdf10, alb4, asm: BlockAssembly, validity_o
         active=(asm.eg_w > 0).astype(jnp.float32) if masked else None,
         frame_major=masked,
     )
-    return jnp.sqrt(asm.eg_w * asm.lam[0]) * r  # [K, D]
+    return jnp.sqrt(asm.eg_w * asm.lam[0]) * r  # [K, kb, B³]
 
 
 def _stencil_dense(sh: jnp.ndarray, t: int, k: int) -> jnp.ndarray:
-    """`[T', nb, B³]` shifted stack → broadcast per-element rows [K, D, t]."""
-    d = sh.shape[1] * sh.shape[2]
-    stack = jnp.moveaxis(sh[:t].reshape(t, d), 0, -1)  # [D, t]
-    return jnp.broadcast_to(stack[None], (k, d, t))
+    """`[T', nb, B³]` shifted stack → broadcast per-element rows [K, nb, B³, t]."""
+    nb, s = sh.shape[1], sh.shape[2]
+    stack = jnp.moveaxis(sh[:t], 0, -1)  # [nb, B³, t]
+    return jnp.broadcast_to(stack[None], (k, nb, s, t))
 
 
 # ---------------------------------------------------------------------------
@@ -155,11 +167,9 @@ def _pad_rows(stack: jnp.ndarray) -> jnp.ndarray:
 
 
 def _stencil_bucket(sh: jnp.ndarray, t: int, bmap: jnp.ndarray) -> jnp.ndarray:
-    """`[T', nb, B³]` shifted stack → bucketed per-element rows [K, NBc·B³, t]."""
-    s = sh.shape[2]
-    k, nbc = bmap.shape
+    """`[T', nb, B³]` shifted stack → bucketed per-element rows [K, NBc, B³, t]."""
     g = _pad_rows(sh[:t])[:, bmap, :]  # [t, K, NBc, S]
-    return jnp.moveaxis(g.reshape(t, k, nbc * s), 0, -1)
+    return jnp.moveaxis(g, 0, -1)
 
 
 def _stencil_for(asm: BlockAssembly, sh: jnp.ndarray, t: int) -> jnp.ndarray:
@@ -170,22 +180,20 @@ def _stencil_for(asm: BlockAssembly, sh: jnp.ndarray, t: int) -> jnp.ndarray:
 
 
 def _perslot_bucket(field: jnp.ndarray, bmap: jnp.ndarray, s: int = 512) -> jnp.ndarray:
-    """Per-slot `[C, nb·B³]` field → bucketed per-element rows [K, NBc·B³, C]
+    """Per-slot `[C, nb·B³]` field → bucketed per-element rows [K, NBc, B³, C]
     (`s` = B³ = 512 for the production B=8 blocks)."""
-    k, nbc = bmap.shape
     c = field.shape[0]
     g = _pad_rows(field.reshape(c, -1, s))[:, bmap, :]  # [C, K, NBc, S]
-    return jnp.moveaxis(g.reshape(c, k, nbc * s), 0, -1)
+    return jnp.moveaxis(g, 0, -1)
 
 
 def _unbucket(vals: jnp.ndarray, bmap: jnp.ndarray, nb: int, s: int) -> jnp.ndarray:
-    """`[F, K, NBc·S]` bucketed cotangents → `[F, nb, S]` per-slot sums.
+    """`[F, K, NBc, S]` bucketed cotangents → `[F, nb, S]` per-slot sums.
 
     ONE scatter-add of K·NBc contiguous (F·S)-lane rows keyed by bmap
     (duplicate block rows across frames accumulate; padding rows land on the
     dropped pad row)."""
-    f, k, e = vals.shape
-    nbc = e // s
+    f, k, nbc = vals.shape[:3]
     v = jnp.moveaxis(vals.reshape(f, k * nbc, s), 0, 1).reshape(k * nbc, f * s)
     out = jnp.zeros((nb + 1, f * s), vals.dtype).at[bmap.reshape(-1)].add(v)
     return jnp.moveaxis(out[:-1].reshape(nb, f, s), 1, 0)
@@ -248,12 +256,12 @@ def block_all_residuals(params: Params, asm: BlockAssembly, masked: bool = True)
 class BlockLin(NamedTuple):
     """Linearization of the block problem at a point (static through PCG)."""
 
-    a_sdf: jnp.ndarray  # [10, K, D]
-    a_alb: jnp.ndarray  # [4, K, D]
-    a_pose: jnp.ndarray  # [6, K, D]
-    a_intr: jnp.ndarray  # [4, K, D]
-    a_dist: jnp.ndarray  # [5, K, D]
-    r0_g: jnp.ndarray  # [K, D] weighted E_g residual
+    a_sdf: jnp.ndarray  # [10, K, kb, B³]
+    a_alb: jnp.ndarray  # [4, K, kb, B³]
+    a_pose: jnp.ndarray  # [6, K, kb, B³]
+    a_intr: jnp.ndarray  # [4, K, kb, B³]
+    a_dist: jnp.ndarray  # [5, K, kb, B³]
+    r0_g: jnp.ndarray  # [K, kb, B³] weighted E_g residual
     r0_r: jnp.ndarray  # [nb, B³]
     r0_s: jnp.ndarray  # [nb, B³]
     r0_a: jnp.ndarray  # [3, nb, B³]
@@ -273,8 +281,7 @@ def _ring_into(plan: ShiftPlan, cot: list, center_val, ring_val) -> None:
 def linearize_block(params: Params, asm: BlockAssembly) -> Tuple[jnp.ndarray, BlockLin]:
     """One reverse-mode pass over the dense E_g elements + closed forms for
     the linear terms. Returns (cost0, lin)."""
-    o = asm.eg_w.shape[0]
-    d = asm.eg_w.shape[1]
+    o, kb, s_blk = asm.eg_w.shape
 
     sh = asm.sdf_plan.apply(params.sdf)  # [13, nb, B³]
     sha = asm.alb_plan.apply(params.albedo)  # [7, nb, B³]
@@ -282,15 +289,18 @@ def linearize_block(params: Params, asm: BlockAssembly) -> Tuple[jnp.ndarray, Bl
     # --- E_g: value + exact per-element Jacobian in one reverse pass --------
     sdf10 = _stencil_for(asm, sh, 10) + 0.0  # materialize as vjp inputs
     alb4 = _stencil_for(asm, sha, 4) + 0.0
-    pose6 = jnp.broadcast_to(params.poses[:, None, :], (o, d, 6)) + 0.0
-    intr_e = jnp.broadcast_to(params.intr, (o, d, 4))
-    dist_e = jnp.broadcast_to(params.dist, (o, d, 5))
+    pose6 = jnp.broadcast_to(params.poses[:, None, None, :], (o, kb, s_blk, 6)) + 0.0
+    intr_e = jnp.broadcast_to(params.intr, (o, kb, s_blk, 4))
+    dist_e = jnp.broadcast_to(params.dist, (o, kb, s_blk, 5))
     sqrt_wlam = jnp.sqrt(asm.eg_w * asm.lam[0])
     if asm.bmap is None:
-        sh9 = jnp.broadcast_to(asm.eg_sh.T[None], (o, d, 9))
-        vpos = jnp.broadcast_to(asm.eg_vpos.T[None], (o, d, 3))
+        sh9 = jnp.broadcast_to(
+            jnp.moveaxis(asm.eg_sh.reshape(9, kb, s_blk), 0, -1)[None], (o, kb, s_blk, 9)
+        )
+        vpos = jnp.broadcast_to(
+            jnp.moveaxis(asm.eg_vpos.reshape(3, kb, s_blk), 0, -1)[None], (o, kb, s_blk, 3)
+        )
     else:
-        s_blk = asm.er_w.shape[1]
         sh9 = _perslot_bucket(asm.eg_sh, asm.bmap, s_blk)
         vpos = _perslot_bucket(asm.eg_vpos, asm.bmap, s_blk)
 
@@ -303,7 +313,7 @@ def linearize_block(params: Params, asm: BlockAssembly) -> Tuple[jnp.ndarray, Bl
             ds5,
             sh9,
             vpos,
-            _fid_rows(o, d),
+            _fid_rows(o, kb, s_blk),
             asm.images,
             asm.pyr_scale,
             asm.voxel_size,
@@ -315,7 +325,7 @@ def linearize_block(params: Params, asm: BlockAssembly) -> Tuple[jnp.ndarray, Bl
     # yields the exact per-element Jacobian, directly in dense layout
     r0_g, vjp_fn = jax.vjp(_eg_weighted, sdf10, alb4, pose6, intr_e, dist_e)
     c_sdf, c_alb, c_pose, c_intr, c_dist = vjp_fn(jnp.ones_like(r0_g))
-    a_sdf = jnp.moveaxis(c_sdf, -1, 0)  # [10, O, D]
+    a_sdf = jnp.moveaxis(c_sdf, -1, 0)  # [10, O, kb, B³]
     a_alb = jnp.moveaxis(c_alb, -1, 0)
     a_pose = jnp.moveaxis(c_pose, -1, 0)
     a_intr = jnp.moveaxis(c_intr, -1, 0)
@@ -372,19 +382,18 @@ def jv_block(lin: BlockLin, asm: BlockAssembly, v: Params):
     sh = asm.sdf_plan.apply(v.sdf)
     sha = asm.alb_plan.apply(v.albedo)
     if asm.bmap is None:
-        shf = sh[:10].reshape(10, 1, nb * s)
-        shaf = sha[:4].reshape(4, 1, nb * s)
+        shf = sh[:10][:, None]  # [10, 1, nb, B³]
+        shaf = sha[:4][:, None]
     else:
-        k, nbc = asm.bmap.shape
-        shf = _pad_rows(sh[:10])[:, asm.bmap, :].reshape(10, k, nbc * s)
-        shaf = _pad_rows(sha[:4])[:, asm.bmap, :].reshape(4, k, nbc * s)
+        shf = _pad_rows(sh[:10])[:, asm.bmap, :]  # [10, K, NBc, B³]
+        shaf = _pad_rows(sha[:4])[:, asm.bmap, :]
 
     y_g = jnp.sum(lin.a_sdf * shf, axis=0)
     y_g = y_g + jnp.sum(lin.a_alb * shaf, axis=0)
     # frame-major rows: the pose tangent of row k is simply v.poses[k]
-    y_g = y_g + jnp.einsum("akn,ka->kn", lin.a_pose, v.poses)
-    y_g = y_g + jnp.einsum("akn,a->kn", lin.a_intr, v.intr)
-    y_g = y_g + jnp.einsum("akn,a->kn", lin.a_dist, v.dist)
+    y_g = y_g + jnp.einsum("akbs,ka->kbs", lin.a_pose, v.poses)
+    y_g = y_g + jnp.einsum("akbs,a->kbs", lin.a_intr, v.intr)
+    y_g = y_g + jnp.einsum("akbs,a->kbs", lin.a_dist, v.dist)
 
     c = asm.sdf_plan.index((0, 0, 0))
     lap = -6.0 * sh[c]
@@ -407,7 +416,7 @@ def jtv_block(lin: BlockLin, asm: BlockAssembly, y) -> Params:
 
     # sdf cotangent stack over the plan's 13 offsets
     if asm.bmap is None:
-        q = jnp.sum(lin.a_sdf * y_g[None], axis=1).reshape(10, nb, s)
+        q = jnp.sum(lin.a_sdf * y_g[None], axis=1)  # [10, nb, B³]
     else:
         q = _unbucket(lin.a_sdf * y_g[None], asm.bmap, nb, s)
     cot = [q[j] for j in range(10)] + [
@@ -420,7 +429,7 @@ def jtv_block(lin: BlockLin, asm: BlockAssembly, y) -> Params:
     g_sdf = asm.sdf_plan.apply_transpose(jnp.stack(cot))
 
     if asm.bmap is None:
-        qa = jnp.sum(lin.a_alb * y_g[None], axis=1).reshape(4, nb, s)
+        qa = jnp.sum(lin.a_alb * y_g[None], axis=1)  # [4, nb, B³]
     else:
         qa = _unbucket(lin.a_alb * y_g[None], asm.bmap, nb, s)
     cot_a = [qa[j] for j in range(4)] + [
@@ -435,9 +444,9 @@ def jtv_block(lin: BlockLin, asm: BlockAssembly, y) -> Params:
     g_alb = asm.alb_plan.apply_transpose(jnp.stack(cot_a))
 
     # frame-major rows: the pose cotangent of frame k is the row-k sum
-    g_pose = jnp.sum(lin.a_pose * y_g[None], axis=-1).T  # [K, 6]
-    g_intr = jnp.einsum("akn,kn->a", lin.a_intr, y_g)
-    g_dist = jnp.einsum("akn,kn->a", lin.a_dist, y_g)
+    g_pose = jnp.einsum("akbs,kbs->ka", lin.a_pose, y_g)  # [K, 6]
+    g_intr = jnp.einsum("akbs,kbs->a", lin.a_intr, y_g)
+    g_dist = jnp.einsum("akbs,kbs->a", lin.a_dist, y_g)
     return Params(g_sdf, g_alb, g_pose, g_intr, g_dist)
 
 
@@ -447,7 +456,7 @@ def diag_from_lin(lin: BlockLin, asm: BlockAssembly) -> Params:
     s = lin.r0_r.shape[1]
 
     if asm.bmap is None:
-        q2 = jnp.sum(lin.a_sdf * lin.a_sdf, axis=1).reshape(10, nb, s)
+        q2 = jnp.sum(lin.a_sdf * lin.a_sdf, axis=1)  # [10, nb, B³]
     else:
         q2 = _unbucket(lin.a_sdf * lin.a_sdf, asm.bmap, nb, s)
     cot = [q2[j] for j in range(10)] + [
@@ -460,7 +469,7 @@ def diag_from_lin(lin: BlockLin, asm: BlockAssembly) -> Params:
     d_sdf = asm.sdf_plan.apply_transpose(jnp.stack(cot))
 
     if asm.bmap is None:
-        qa2 = jnp.sum(lin.a_alb * lin.a_alb, axis=1).reshape(4, nb, s)
+        qa2 = jnp.sum(lin.a_alb * lin.a_alb, axis=1)  # [4, nb, B³]
     else:
         qa2 = _unbucket(lin.a_alb * lin.a_alb, asm.bmap, nb, s)
     cot_a = [qa2[j] for j in range(4)] + [
@@ -474,9 +483,9 @@ def diag_from_lin(lin: BlockLin, asm: BlockAssembly) -> Params:
         cot_a[ei] = cot_a[ei] + wl_a[dd]
     d_alb = asm.alb_plan.apply_transpose(jnp.stack(cot_a))
 
-    d_pose = jnp.sum(lin.a_pose * lin.a_pose, axis=-1).T  # [K, 6]
-    d_intr = jnp.einsum("akn->a", lin.a_intr * lin.a_intr)
-    d_dist = jnp.einsum("akn->a", lin.a_dist * lin.a_dist)
+    d_pose = jnp.einsum("akbs->ka", lin.a_pose * lin.a_pose)  # [K, 6]
+    d_intr = jnp.einsum("akbs->a", lin.a_intr * lin.a_intr)
+    d_dist = jnp.einsum("akbs->a", lin.a_dist * lin.a_dist)
     return Params(d_sdf, d_alb, d_pose, d_intr, d_dist)
 
 
@@ -741,12 +750,12 @@ def to_block_problem(
         af = frames[active]
         e_cap = nbc * s
         didx = af * e_cap + pos[af, blk[active]] * s + (eg_slot[active] % s)
-        eg_w = np.zeros((o_cap, e_cap), np.float32)
+        eg_w = np.zeros((o_cap, nbc, s), np.float32)
         eg_w.reshape(-1)[didx] = eg_w_np[active]
         bmap_j = jnp.asarray(bmap_np)
     else:
         didx = np.asarray(asm.eg_frame)[active].astype(np.int64) * d + eg_slot[active]
-        eg_w = np.zeros((o_cap, d), np.float32)
+        eg_w = np.zeros((o_cap, nb, s), np.float32)
         eg_w.reshape(-1)[didx] = eg_w_np[active]
 
     # per-voxel element data (identical across a voxel's observations —

@@ -138,7 +138,7 @@ def device_assembly(
     """One fully-jitted relinearization assembly (zero host round trips).
 
     With `bmap` (from `blockform.build_frame_buckets`) the E_g element grid
-    is FRAME-BUCKETED `[K, NBc·B³]`: observation evaluation, the validity
+    is FRAME-BUCKETED `[K, NBc, B³]`: observation evaluation, the validity
     probe, and all element weights are computed only for each frame's
     visible blocks — the layout that keeps many-keyframe scenes (K ≫
     num_obs) linear in frustum coverage instead of K × grid size."""
@@ -217,7 +217,7 @@ def device_assembly(
         sel = rank < kcap
         eg_w = jnp.where(
             eg_gate[None, :] & sel, weights * w_sdf2.reshape(d)[None, :], 0.0
-        )  # [K, D]
+        ).reshape(kframes, nb, s)  # [K, nb, B³]
     else:
         # frame-bucketed elements: evaluate observations only on each frame's
         # visible blocks (block-row gathers; padding rows index the all-zero
@@ -252,7 +252,7 @@ def device_assembly(
         sel_b = sel[karr, bmap].reshape(kframes, e)
         eg_w = jnp.where(
             (act_b > 0.0) & sel_b, weights_b * rows2(w_sdf2), 0.0
-        )  # [K, E]
+        ).reshape(kframes, nbc, s)  # [K, NBc, B³]
 
     # --- E_r / E_s / E_a weights --------------------------------------------
     er_w = jnp.where(gate & ring_ok, 1.0, 0.0) * jnp.where(lambdas[1] > 0.0, 1.0, 0.0)

@@ -127,6 +127,22 @@ def optimize_level(
             dense_bytes = k * (layout.num_blocks * 512) * _EG_DENSE_BYTES_PER_ELEMENT
             win_speed = 2 * fb.shape[1] <= layout.num_blocks
             win_memory = dense_bytes > _EG_DENSE_HBM_BUDGET and fb.shape[1] < layout.num_blocks
+            if win_memory and not win_speed:
+                # memory-forced: trade a little observation-candidate slack
+                # for fitting HBM (tightest cap that still covers the
+                # per-voxel top-N, and the frustum margin halved)
+                fb = build_frame_buckets(
+                    layout,
+                    np.asarray(params.poses),
+                    np.asarray(params.intr, np.float64) * pyr_scale,
+                    w,
+                    h,
+                    grid.voxel_size,
+                    margin_px=0.08 * max(w, h),
+                    depths=np.asarray(depths_level),
+                    occlusion=cfg.occlusion_distance,
+                    max_frames_per_block=min(cfg.num_observations + 1, k),
+                )
             if cfg.frame_bucketing == "always" or win_speed or win_memory:
                 bmap = jnp.asarray(fb)
                 log.info(

@@ -109,8 +109,9 @@ def catrom_sample_frames(images, fid, x, y, active=None, frame_major=False):
     checkpoint replay. Reverse-mode only — leave `active=None` on paths that
     need `jax.linearize`/jvp.
 
-    `frame_major=True` (requires 2-D `[K, D]` batches whose row k samples
-    only keyframe k, the block layout of refine/blockform.py) additionally
+    `frame_major=True` (requires `[K, ...]` batches whose leading index k
+    samples only keyframe k, the block layout of refine/blockform.py; trailing
+    batch dims are collapsed) additionally
     opts into the frame-WINDOWED kernel: each 512-element chunk fetches
     only ITS FRAME of the image stack from HBM instead of holding all
     K·H rows in VMEM — K× fewer row-select MACs and no K·H ceiling."""
@@ -136,9 +137,12 @@ def catrom_sample_frames(images, fid, x, y, active=None, frame_major=False):
 
     shape = x0.shape
     m = int(np.prod(shape))
-    if active is not None and frame_major and jnp.ndim(x) == 2 and m >= 1024:
+    if active is not None and frame_major and jnp.ndim(x) >= 2 and m >= 1024:
         from intrinsic3d_tpu.ops.pallas.bicubic import CHUNK, bicubic_sample_rows
 
+        # collapse trailing batch dims: rows stay frame-uniform whether the
+        # caller batches [K, D] or [K, kb, B³]
+        x, y, fid, active = (a.reshape(a.shape[0], -1) for a in (x, y, fid, active))
         # pad the slot axis to a chunk multiple so no sampler chunk straddles
         # two keyframe rows (the windowed kernel's frame-uniformity contract)
         kk, d = x.shape
@@ -154,7 +158,8 @@ def catrom_sample_frames(images, fid, x, y, active=None, frame_major=False):
             padded(y).reshape(-1),
             padded(active).reshape(-1).astype(jnp.float32),
         ).reshape(kk, d + dpad)
-        return out[:, :d] if dpad else out
+        out = out[:, :d] if dpad else out
+        return out.reshape(shape)
     if active is not None and k * h <= 4096 and m >= 1024:
         from intrinsic3d_tpu.ops.pallas.bicubic import bicubic_sample
 

@@ -170,7 +170,7 @@ def test_device_assembly_bucketed_matches_dense(prob):
     for kk in range(k):
         w_full[kk, bmap[kk]] = w_b[kk]
     np.testing.assert_allclose(
-        np.asarray(asm_d.eg_w), w_full[:, :nb].reshape(k, nb * s), rtol=1e-5, atol=1e-7
+        np.asarray(asm_d.eg_w), w_full[:, :nb], rtol=1e-5, atol=1e-7
     )
     for a, b in zip(m_d, m_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
