@@ -33,11 +33,125 @@ log = logging.getLogger("intrinsic3d")
 
 # peak HLO-temp bytes per dense E_g element through the jitted gn_iteration
 # graph (measured: 20.9 GB at K=10 × D=2.92M on TPU v5e, incl. padding and
-# remat temporaries), and the budget above which the dense frame-major
-# layout must yield to bucketing regardless of its ~2x per-element stencil
-# overhead (v5e HBM is 15.75 GB; leave room for images + persistent fields)
+# remat temporaries), and the fallback budget above which the dense
+# frame-major layout must yield to bucketing regardless of its ~2x
+# per-element stencil overhead (v5e HBM is 15.75 GB; leave room for images +
+# persistent fields). The live budget is queried from the device
+# (`eg_hbm_budget`) so other TPU generations get the right crossover.
 _EG_DENSE_BYTES_PER_ELEMENT = 720
-_EG_DENSE_HBM_BUDGET = 11e9
+_EG_DENSE_HBM_BUDGET_FALLBACK = 11e9
+# headroom reserved out of the queried device memory for everything that is
+# not E_g element temps: images, persistent parameter/static fields, and the
+# non-element solver temps (calibrated on v5e: 15.75 GB − 4.75 GB = the
+# measured 11 GB element budget)
+_EG_HBM_HEADROOM = 4.75e9
+
+
+def eg_hbm_budget() -> float:
+    """HBM budget for the dense E_g element fields, from the attached
+    device's reported memory (fallback: the measured v5e figure). Capped at
+    70% of device memory so small-HBM devices keep proportional headroom."""
+    try:
+        import jax
+
+        stats = jax.devices()[0].memory_stats() or {}
+        total = float(stats.get("bytes_limit", 0.0) or 0.0)
+    except Exception:
+        total = 0.0
+    if total <= 0.0:
+        return _EG_DENSE_HBM_BUDGET_FALLBACK
+    return min(total - _EG_HBM_HEADROOM, 0.7 * total)
+
+
+def plan_eg_layout(
+    layout: BlockLayout,
+    poses: np.ndarray,  # [K, 6]
+    intr_level: np.ndarray,  # [4] fx fy cx cy at the pyramid level
+    cfg: RefinementConfig,
+    width: int,
+    height: int,
+    voxel_size: float,
+    thres_shell: float,
+    depths: Optional[np.ndarray],  # [K, H, W] level depth maps
+    *,
+    budget: Optional[float] = None,
+    bytes_per_element: float = _EG_DENSE_BYTES_PER_ELEMENT,
+) -> tuple[Optional[np.ndarray], str]:
+    """Choose the E_g element layout for one (grid, pyramid) level.
+
+    Returns ``(bmap, reason)``: ``bmap=None`` keeps the dense frame-major
+    `[K, nb, B³]` element grid; otherwise ``bmap [K, NBc]`` selects the
+    frame-bucketed layout (``blockform.build_frame_buckets``).
+
+    Decision rules (testable in isolation by pinning `budget`):
+
+    - bucketing wins on SPEED when the uncapped, exact bucket layout halves
+      the element count (the many-keyframe regime, BENCH_NOTES "K ≫
+      num_obs") — the decision is made on an UNCAPPED build so the
+      speed-win path stays exact (per-voxel top-N over all K frames);
+    - bucketing is FORCED when the dense element fields would blow the HBM
+      budget; only if the exact bucketed layout STILL exceeds the budget is
+      the per-block frame cap engaged (benign approximation: each block
+      keeps its `num_observations + 1` closest frames), and a residual
+      overflow is logged rather than silently OOMing;
+    - the depth-interval occlusion cull is applied only when
+      ``cfg.occlusion_distance > 0`` — at ``0`` the observation weight skips
+      the |depth−z| visibility test entirely (``colorization.cpp:256``,
+      "0.0 = no occlusion checks"), so depth-culled blocks could carry
+      nonzero-weight elements;
+    - the cull's depth slack grows with the level's shell threshold: E_g iso
+      points sit up to `thres_shell` outside the block AABB.
+    """
+    if getattr(cfg, "frame_bucketing", "auto") == "never":
+        return None, "dense (bucketing disabled)"
+    if budget is None:
+        budget = eg_hbm_budget()
+    k = int(poses.shape[0])
+    s = layout.block**3
+    nb = layout.num_blocks
+    use_depth_cull = depths is not None and cfg.occlusion_distance > 0.0
+    common = dict(
+        layout=layout,
+        poses6=np.asarray(poses),
+        intr4=np.asarray(intr_level, np.float64),
+        width=width,
+        height=height,
+        voxel_size=voxel_size,
+        depths=np.asarray(depths) if use_depth_cull else None,
+        occlusion=cfg.occlusion_distance,
+        depth_slack=0.05 + float(thres_shell),
+    )
+    fb = build_frame_buckets(**common, margin_px=0.15 * max(width, height))
+    dense_bytes = k * nb * s * bytes_per_element
+    win_speed = 2 * fb.shape[1] <= nb
+    win_memory = dense_bytes > budget and fb.shape[1] < nb
+    if not (cfg.frame_bucketing == "always" or win_speed or win_memory):
+        return None, "dense (full frame coverage, fits HBM)"
+
+    reason = "memory-forced" if (win_memory and not win_speed) else (
+        "speed" if win_speed else "forced by config"
+    )
+    bucket_bytes = k * fb.shape[1] * s * bytes_per_element
+    if bucket_bytes > budget:
+        # exact buckets still too big: engage the per-block frame cap
+        # (tightest cap that still covers the per-voxel top-N) and halve
+        # the frustum margin
+        fb = build_frame_buckets(
+            **common,
+            margin_px=0.08 * max(width, height),
+            max_frames_per_block=min(cfg.num_observations + 1, k),
+        )
+        bucket_bytes = k * fb.shape[1] * s * bytes_per_element
+        reason += ", frame-capped"
+        if bucket_bytes > budget:
+            log.warning(
+                "  bucketed E_g elements still exceed the HBM budget "
+                "(%.1f GB > %.1f GB) after frame capping — expect OOM "
+                "pressure; reduce keyframes or image resolution",
+                bucket_bytes / 1e9,
+                budget / 1e9,
+            )
+    return fb, reason
 
 
 @dataclasses.dataclass
@@ -105,53 +219,26 @@ def optimize_level(
         # finest grid level at production scale: ~700 B/element through the
         # jitted gn_iteration graph, measured on v5e at 1.05M voxels).
         bmap = None
-        if getattr(cfg, "frame_bucketing", "auto") != "never":
-            k = int(params.poses.shape[0])
-            # occlusion culling is exact (weight-0 elements only); the
-            # per-block frame cap bounds elements at M·nb·B³ independent of
-            # K — enable it once K exceeds the cap (benign approximation of
-            # the per-voxel top-N, see build_frame_buckets)
-            cap = cfg.num_observations + 3
-            fb = build_frame_buckets(
-                layout,
-                np.asarray(params.poses),
-                np.asarray(params.intr, np.float64) * pyr_scale,
-                w,
-                h,
-                grid.voxel_size,
-                margin_px=0.15 * max(w, h),
-                depths=np.asarray(depths_level),
-                occlusion=cfg.occlusion_distance,
-                max_frames_per_block=cap if k > cap else 0,
+        fb, reason = plan_eg_layout(
+            layout,
+            np.asarray(params.poses),
+            np.asarray(params.intr, np.float64) * pyr_scale,
+            cfg,
+            w,
+            h,
+            grid.voxel_size,
+            thres_shell,
+            np.asarray(depths_level),
+        )
+        if fb is not None:
+            bmap = jnp.asarray(fb)
+            log.info(
+                "  frame buckets: %d blocks/frame of %d (%.0f%% coverage, %s)",
+                fb.shape[1],
+                layout.num_blocks,
+                100.0 * fb.shape[1] / layout.num_blocks,
+                reason,
             )
-            dense_bytes = k * (layout.num_blocks * 512) * _EG_DENSE_BYTES_PER_ELEMENT
-            win_speed = 2 * fb.shape[1] <= layout.num_blocks
-            win_memory = dense_bytes > _EG_DENSE_HBM_BUDGET and fb.shape[1] < layout.num_blocks
-            if win_memory and not win_speed:
-                # memory-forced: trade a little observation-candidate slack
-                # for fitting HBM (tightest cap that still covers the
-                # per-voxel top-N, and the frustum margin halved)
-                fb = build_frame_buckets(
-                    layout,
-                    np.asarray(params.poses),
-                    np.asarray(params.intr, np.float64) * pyr_scale,
-                    w,
-                    h,
-                    grid.voxel_size,
-                    margin_px=0.08 * max(w, h),
-                    depths=np.asarray(depths_level),
-                    occlusion=cfg.occlusion_distance,
-                    max_frames_per_block=min(cfg.num_observations + 1, k),
-                )
-            if cfg.frame_bucketing == "always" or win_speed or win_memory:
-                bmap = jnp.asarray(fb)
-                log.info(
-                    "  frame buckets: %d blocks/frame of %d (%.0f%% coverage%s)",
-                    fb.shape[1],
-                    layout.num_blocks,
-                    100.0 * fb.shape[1] / layout.num_blocks,
-                    ", memory-forced" if (win_memory and not win_speed) else "",
-                )
 
     for itr in range(cfg.iterations):
         lambda_r = compute_varying_lambda(itr, cfg.iterations, cfg.lambda_r0, cfg.lambda_r1)

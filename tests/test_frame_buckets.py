@@ -281,6 +281,108 @@ def test_occlusion_culling_shrinks_buckets_exactly(prob):
     )
 
 
+def test_plan_eg_layout_decisions(prob):
+    """The dense/bucketed crossover (refine/optimizer.py::plan_eg_layout) is
+    device-aware and keeps the speed path exact: decisions are made on an
+    UNCAPPED bucket build, the per-block frame cap engages only when the
+    exact bucketed layout still exceeds the pinned HBM budget, and
+    occlusion_distance == 0 disables the depth-interval cull (ADVICE r2)."""
+    import dataclasses
+
+    from intrinsic3d_tpu.grid.blocks import BlockLayout
+    from intrinsic3d_tpu.refine.optimizer import plan_eg_layout
+
+    layout = BlockLayout.build(prob.grid)
+    w, h = int(prob.images.shape[2]), int(prob.images.shape[1])
+    args = (
+        layout,
+        np.asarray(prob.params.poses),
+        np.asarray(prob.params.intr),
+        prob.cfg,
+        w,
+        h,
+        prob.grid.voxel_size,
+        prob.thres_shell,
+        np.asarray(prob.depths),
+    )
+
+    # disabled -> always dense
+    cfg_never = dataclasses.replace(prob.cfg, frame_bucketing="never")
+    fb, _ = plan_eg_layout(*(args[:3] + (cfg_never,) + args[4:]), budget=1.0)
+    assert fb is None
+
+    # forced by config -> bucketed even with an infinite budget
+    cfg_always = dataclasses.replace(prob.cfg, frame_bucketing="always")
+    fb, reason = plan_eg_layout(*(args[:3] + (cfg_always,) + args[4:]), budget=1e18)
+    assert fb is not None
+
+    # tiny budget -> memory-forced AND frame-capped (exact buckets too big);
+    # the cap bounds every block to num_observations + 1 candidate frames
+    fb, reason = plan_eg_layout(*args, budget=1.0)
+    assert fb is not None and "frame-capped" in reason
+    nb = layout.num_blocks
+    counts = np.zeros(nb + 1, np.int64)
+    for k in range(fb.shape[0]):
+        np.add.at(counts, fb[k], 1)
+    assert counts[:nb].max() <= prob.cfg.num_observations + 1
+
+    # occlusion_distance == 0 must skip the depth cull: its buckets can only
+    # be larger than the occlusion-culled ones
+    cfg0 = dataclasses.replace(prob.cfg, frame_bucketing="always", occlusion_distance=0.0)
+    fb0, _ = plan_eg_layout(*(args[:3] + (cfg0,) + args[4:]), budget=1e18)
+    fb1, _ = plan_eg_layout(*(args[:3] + (cfg_always,) + args[4:]), budget=1e18)
+    assert int(np.sum(fb0 < nb)) > int(np.sum(fb1 < nb))
+
+
+def test_occlusion_zero_bucketed_energy_exact(prob):
+    """With occlusion_distance = 0 the observation weight skips the |depth−z|
+    visibility test entirely (``colorization.cpp:256``), so far-hemisphere
+    voxels carry nonzero weights — the bucket plan must not depth-cull their
+    blocks, and the bucketed energy must equal the dense energy exactly."""
+    import dataclasses
+
+    from intrinsic3d_tpu.grid.blocks import BlockLayout
+    from intrinsic3d_tpu.refine.optimizer import plan_eg_layout
+
+    layout = BlockLayout.build(prob.grid)
+    st = build_level_static(layout, prob.grid, prob.topo, prob.voxel_sh)
+    sdf_plan, alb_plan = blockform.layout_plans(layout)
+    bp = prob.params._replace(
+        sdf=blockform.table_to_dense(layout, prob.params.sdf),
+        albedo=blockform.table_to_dense(layout, prob.params.albedo),
+    )
+    w, h = int(prob.images.shape[2]), int(prob.images.shape[1])
+    cfg0 = dataclasses.replace(prob.cfg, frame_bucketing="always", occlusion_distance=0.0)
+    fb, _ = plan_eg_layout(
+        layout,
+        np.asarray(prob.params.poses),
+        np.asarray(prob.params.intr),
+        cfg0,
+        w,
+        h,
+        prob.grid.voxel_size,
+        prob.thres_shell,
+        np.asarray(prob.depths),
+        budget=1e18,
+    )
+    args = (
+        st, sdf_plan, alb_plan, bp, prob.depths, prob.images,
+        jnp.float32(1.0), jnp.float32(prob.grid.voxel_size),
+        jnp.float32(prob.grid.truncation), jnp.float32(prob.thres_shell),
+        jnp.float32(0.0),  # occlusion_distance = 0: no visibility check
+        jnp.asarray([cfg0.lambda_g, 10.0, 10.0, cfg0.lambda_a], jnp.float32),
+    )
+    kw = dict(num_obs=2, width=w, height=h)
+    asm_d, _ = device_assembly(*args, **kw)
+    asm_b, _ = device_assembly(*args, **kw, bmap=jnp.asarray(fb))
+    rd = blockform.block_all_residuals(bp, asm_d, masked=False)
+    rb = blockform.block_all_residuals(bp, asm_b, masked=False)
+    assert float(jnp.sum(rd * rd)) > 0.0
+    np.testing.assert_allclose(
+        float(jnp.sum(rd * rd)), float(jnp.sum(rb * rb)), rtol=1e-6
+    )
+
+
 def test_per_block_frame_cap_bounds_elements(prob):
     """`max_frames_per_block=M` bounds every block to M candidate frames (the
     K-scaling guarantee: elements <= M*nb*B^3 for any K) and stays a benign
