@@ -107,6 +107,19 @@ def main():
     sensor = build_dataset(args.frames, width, height, center, args.radius)
     dataset_s = time.perf_counter() - t_ds
 
+    # --- chip claim + backend boot, measured SEPARATELY -----------------------
+    # The first device op pays the exclusive chip-claim handshake (up to
+    # ~2 min if a previous process died holding the grant) plus backend
+    # bring-up; attribute it to its own line item so the stage timings are
+    # steady-state compute, not queueing (VERDICT r2 weak #1).
+    import jax.numpy as jnp
+
+    _progress("claiming device ...")
+    t0 = time.perf_counter()
+    jax.block_until_ready(jnp.zeros((8, 128)) + 1.0)
+    claim_s = time.perf_counter() - t0
+    _progress(f"device ready in {claim_s:.1f}s: {jax.devices()[0]}")
+
     # --- stage 1: keyframe selection (AppKeyframes) -------------------------
     _progress("stage 1: keyframe selection ...")
     t0 = time.perf_counter()
@@ -177,7 +190,7 @@ def main():
     result = {
         "metric": "pipeline_wall_clock_s",
         "value": round(total_s, 2),
-        "unit": "s (keyframes+fusion+refinement, end to end)",
+        "unit": "s (keyframes+fusion+refinement, steady-state; claim wait line-itemed)",
         # anchor: the reference README calls the refinement "computationally
         # very demanding" (hours); BASELINE.md's measurable bound is <1/10 of
         # a measured reference run. With no reference build possible in this
@@ -190,6 +203,11 @@ def main():
                 "fusion": round(fusion_s, 2),
                 "refinement": round(refinement_s, 2),
             },
+            # exclusive-chip-claim handshake + backend boot, paid once before
+            # stage 1 (NOT steady-state pipeline compute; a cold pipeline's
+            # end-to-end wall-clock is value + chip_claim_s)
+            "chip_claim_s": round(claim_s, 2),
+            "total_with_claim_s": round(total_s + claim_s, 2),
             "dataset_gen_s": round(dataset_s, 2),
             "frames": args.frames,
             "keyframes_selected": len(kf_ids),

@@ -20,7 +20,20 @@ split the Pallas sampler custom call on real hardware (ARCHITECTURE.md
   pattern validated by `tests/test_multichip.py::test_windowed_sampler_under_shard_map`;
 - global parameters (poses/intrinsics/distortion) replicate; their gradient,
   Gauss-Newton products and the PCG/cost scalars are `psum`'d over the axis
-  (`refine.solver.gn_iteration(axis_name=...)`).
+  (`refine.solver.gn_iteration(axis_name=...)`);
+- the FRAME-BUCKETED element layout (`blockform.build_frame_buckets`) shards
+  by bucket column, partitioned by block owner: each device's per-frame
+  bucket holds exactly the visible blocks of its own brick
+  (`localize_buckets`), so per-slot fetches, the per-voxel top-N, and the
+  `_unbucket` scatter-adds all stay device-local — the memory-forced
+  finest-level regime runs under the mesh;
+- plan construction and the jitted shard_map step are built ONCE per level
+  and reused across the outer loop (`SpmdContext` / `SpmdLevel`) — the
+  production pipeline path (`refine.optimizer.optimize_level(mesh=...)`)
+  runs the ENTIRE per-iteration relinearization (device assembly: normals,
+  gates, observation collection, validity probe, weight normalization) and
+  the damped-GN solve inside the same sharded region, so per-iteration
+  observation re-collection never re-replicates.
 """
 
 from __future__ import annotations
@@ -202,12 +215,125 @@ def make_sharded_plans(
 
 
 # ---------------------------------------------------------------------------
-# The SPMD GN iteration
+# Frame-bucket localization (bucketed layout under spatial sharding)
 # ---------------------------------------------------------------------------
+
+
+def localize_buckets(
+    num_blocks: int, bmap: np.ndarray, n: int, round_to: int = 8
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Partition global frame buckets by block OWNER.
+
+    Device p owns the contiguous brick of block rows `[p·m, (p+1)·m)`; its
+    local bucket for frame k is exactly the global bucket's blocks inside
+    that brick, remapped to local rows. Because every per-slot quantity of a
+    bucketed element (stencil values, SH, top-N rank, the `_unbucket`
+    scatter-add target) is keyed by the element's BLOCK row, owner
+    partitioning makes the entire bucketed data path device-local — the only
+    cross-device traffic remains the stencil halo exchange and the psum'd
+    globals, same as the dense layout.
+
+    Returns:
+      - ``bmap_dev [n, K, NBc_l] int32`` — per-device local block rows
+        (padding = m, each device's all-zero pad row);
+      - ``colsel [n, K, NBc_l] int64`` — the GLOBAL bucket column each local
+        entry came from (padding = NBc, a zero pad column) — the gather table
+        for re-sharding prebuilt `[K, NBc, B³]` element fields.
+    """
+    nb = num_blocks
+    if nb % n != 0:
+        raise ValueError(f"num_blocks {nb} not divisible by mesh size {n}")
+    m = nb // n
+    k, nbc = bmap.shape
+    owner = np.where(bmap < nb, bmap // m, -1)  # [K, NBc]
+    counts = np.zeros((n, k), np.int64)
+    for p in range(n):
+        counts[p] = np.sum(owner == p, axis=1)
+    nbc_l = max(int(counts.max()), 1)
+    nbc_l = -(-nbc_l // round_to) * round_to
+    bmap_dev = np.full((n, k, nbc_l), m, np.int32)
+    colsel = np.full((n, k, nbc_l), nbc, np.int64)
+    for p in range(n):
+        for kk in range(k):
+            cols = np.flatnonzero(owner[kk] == p)
+            bmap_dev[p, kk, : len(cols)] = bmap[kk, cols] - p * m
+            colsel[p, kk, : len(cols)] = cols
+    return bmap_dev, colsel
+
+
+# ---------------------------------------------------------------------------
+# Per-level SPMD context: plans + jit built once, reused across iterations
+# ---------------------------------------------------------------------------
+
+
+def _plan_spec(plan: ShardedPlan, axis: str) -> ShardedPlan:
+    """PartitionSpec pytree matching a ShardedPlan's leaves."""
+    return _plan_unflatten(
+        _plan_flatten(plan)[1],
+        (
+            tuple(P() for _ in plan.term_mats),
+            P(axis, None, None),
+            tuple(P(axis, None) for _ in plan.send),
+        ),
+    )
 
 
 def _strip_pad(x):
     return x[:-1]
+
+
+@dataclasses.dataclass
+class SpmdContext:
+    """Sharded stencil plans + jit cache for one (BlockLayout, mesh) pair.
+
+    Built ONCE per level (`make_spmd_context`); every `spmd_gn_iteration`
+    call or `SpmdLevel` step reuses the halo tables and the jitted shard_map
+    callables instead of rebuilding them per call (the round-2 per-call
+    plan/jit rebuild)."""
+
+    mesh: Mesh
+    axis: str
+    layout: BlockLayout
+    halo: HaloPlan
+    sdf_plan_s: ShardedPlan
+    alb_plan_s: ShardedPlan
+    _jit_cache: dict = dataclasses.field(default_factory=dict)
+
+    @property
+    def n(self) -> int:
+        return int(self.mesh.devices.size)
+
+    def jitted(self, key, make):
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = self._jit_cache[key] = make()
+        return fn
+
+
+def make_spmd_context(layout: BlockLayout, mesh: Mesh, axis: str = "data") -> SpmdContext:
+    from intrinsic3d_tpu.refine.blockform import layout_plans
+
+    plans = layout_plans(layout)
+    hp, (sdf_s, alb_s) = make_sharded_plans(layout, plans, mesh.devices.size, axis)
+    return SpmdContext(
+        mesh=mesh, axis=axis, layout=layout, halo=hp, sdf_plan_s=sdf_s, alb_plan_s=alb_s
+    )
+
+
+def _base_specs(axis: str):
+    """(params/masks, per-slot, element, replicated) PartitionSpecs."""
+    from intrinsic3d_tpu.refine.solver import Masks
+
+    blk = P(axis, None)
+    rep = P()
+    p_specs = Params(sdf=blk, albedo=blk, poses=rep, intr=rep, dist=rep)
+    m_specs = Masks(sdf=blk, albedo=blk, poses=rep, intr=rep, dist=rep)
+    return p_specs, m_specs, blk, rep
+
+
+# ---------------------------------------------------------------------------
+# The SPMD GN iteration (prebuilt-assembly form: tests / dryrun / benches)
+# ---------------------------------------------------------------------------
 
 
 def spmd_gn_iteration(
@@ -221,62 +347,61 @@ def spmd_gn_iteration(
     cg_iters: int = 12,
     cg_coeff_dtype: str = "bfloat16",
     axis: str = "data",
+    ctx: Optional[SpmdContext] = None,
 ):
     """One relinearize→solve→accept cycle under spatial block sharding.
 
     Numerically identical energy to `solver.gn_iteration` on the same block
     problem (the halo'd stencils reproduce the global shifts exactly; global
     reductions are psum'd). Inputs are ordinary host/DEVICE arrays in the
-    global block layout; outputs match `gn_iteration`'s.
-    """
-    from intrinsic3d_tpu.refine.solver import Masks, gn_iteration
+    global block layout — including the FRAME-BUCKETED element layout, whose
+    element fields are re-sharded by block owner (`localize_buckets`).
+    Outputs match `gn_iteration`'s. Pass `ctx` (from `make_spmd_context`) to
+    reuse halo plans and the jitted step across calls."""
+    from intrinsic3d_tpu.refine.solver import gn_iteration
 
-    if basm.bmap is not None:
-        raise NotImplementedError("frame-bucketed layout under SPMD: use the dense layout")
-    n = mesh.devices.size
-    _, (sdf_plan_s, alb_plan_s) = make_sharded_plans(
-        layout, (basm.sdf_plan, basm.alb_plan), n, axis
-    )
-
+    if ctx is None:
+        ctx = make_spmd_context(layout, mesh, axis)
+    n = ctx.n
     nb = layout.num_blocks
-    s = layout.block**3
-    k = basm.eg_w.shape[0]
+    bucketed = basm.bmap is not None
 
-    # specs: block-axis sharding for voxel-shaped data, replication for globals
-    blk = P(axis, None)
+    p_specs, m_specs, blk, rep = _base_specs(axis)
     col = P(None, axis)  # [C, D] per-slot fields
     mid = P(None, axis, None)  # [K, nb, B³] element fields (block axis shards)
-    rep = P()
 
-    p_specs = Params(sdf=blk, albedo=blk, poses=rep, intr=rep, dist=rep)
-    m_specs = Masks(sdf=blk, albedo=blk, poses=rep, intr=rep, dist=rep)
-    def plan_spec(plan):
-        return _plan_unflatten(
-            _plan_flatten(plan)[1],
-            (
-                tuple(P() for _ in plan.term_mats),
-                P(axis, None, None),
-                tuple(P(axis, None) for _ in plan.send),
-            ),
-        )
-
-    plan_spec_sdf = plan_spec(sdf_plan_s)
-    plan_spec_alb = plan_spec(alb_plan_s)
+    basm_in = basm._replace(sdf_plan=ctx.sdf_plan_s, alb_plan=ctx.alb_plan_s)
+    if bucketed:
+        bmap_np = np.asarray(basm.bmap)
+        k, nbc = bmap_np.shape
+        bmap_dev, colsel = localize_buckets(nb, bmap_np, n)
+        nbc_l = bmap_dev.shape[-1]
+        # re-shard the element weights by owner: one gather through the
+        # global-column table (pad column NBc is all-zero)
+        eg_w_pad = jnp.pad(basm.eg_w, ((0, 0), (0, 1), (0, 0)))
+        cs = jnp.asarray(colsel.transpose(1, 0, 2).reshape(k, n * nbc_l))
+        eg_w_loc = jnp.take_along_axis(eg_w_pad, cs[:, :, None], axis=1)  # [K, n·NBc_l, B³]
+        basm_in = basm_in._replace(eg_w=eg_w_loc, bmap=jnp.asarray(bmap_dev))
+        eg_spec = P(None, axis, None)
+        bmap_spec = P(axis, None, None)
+    else:
+        eg_spec = mid
+        bmap_spec = None
     asm_specs = BlockAssembly(
-        eg_w=mid,
+        eg_w=eg_spec,
         eg_sh=col,
         eg_vpos=col,
-        sdf_plan=plan_spec_sdf,
-        alb_plan=plan_spec_alb,
+        sdf_plan=_plan_spec(ctx.sdf_plan_s, axis),
+        alb_plan=_plan_spec(ctx.alb_plan_s, axis),
         er_w=blk,
         es_ref=blk,
         es_w=blk,
-        ea_w=P(None, axis, None),
+        ea_w=mid,
         lam=rep,
         images=rep,
         pyr_scale=rep,
         voxel_size=rep,
-        bmap=None,
+        bmap=bmap_spec,
     )
 
     # strip pad rows (the +1 breaks even sharding); re-padded per device inside
@@ -288,35 +413,39 @@ def spmd_gn_iteration(
         intr=bmasks.intr,
         dist=bmasks.dist,
     )
-    basm_in = basm._replace(sdf_plan=sdf_plan_s, alb_plan=alb_plan_s)
 
-    def body(bp, ba, bm, mu):
-        from intrinsic3d_tpu.grid.blocks import pad_flat
+    def make():
+        def body(bp, ba, bm, mu):
+            from intrinsic3d_tpu.grid.blocks import pad_flat
 
-        bp = bp._replace(sdf=pad_flat(bp.sdf), albedo=pad_flat(bp.albedo))
-        bm = bm._replace(sdf=pad_flat(bm.sdf), albedo=pad_flat(bm.albedo))
-        out_p, c0, c1, mu2, tries = gn_iteration(
-            bp,
-            ba,
-            bm,
-            mu,
-            lm_steps=lm_steps,
-            cg_iters=cg_iters,
-            cg_coeff_dtype=cg_coeff_dtype,
-            axis_name=axis,
+            bp = bp._replace(sdf=pad_flat(bp.sdf), albedo=pad_flat(bp.albedo))
+            bm = bm._replace(sdf=pad_flat(bm.sdf), albedo=pad_flat(bm.albedo))
+            if ba.bmap is not None:
+                ba = ba._replace(bmap=ba.bmap[0])  # [1, K, NBc_l] → local [K, NBc_l]
+            out_p, c0, c1, mu2, tries = gn_iteration(
+                bp,
+                ba,
+                bm,
+                mu,
+                lm_steps=lm_steps,
+                cg_iters=cg_iters,
+                cg_coeff_dtype=cg_coeff_dtype,
+                axis_name=axis,
+            )
+            out_p = out_p._replace(sdf=_strip_pad(out_p.sdf), albedo=_strip_pad(out_p.albedo))
+            return out_p, c0, c1, mu2, tries
+
+        return jax.jit(
+            jax.shard_map(
+                body,
+                mesh=ctx.mesh,
+                in_specs=(p_specs, asm_specs, m_specs, rep),
+                out_specs=(p_specs, rep, rep, rep, rep),
+                check_vma=False,  # pallas_call outputs carry no vma annotation
+            )
         )
-        out_p = out_p._replace(sdf=_strip_pad(out_p.sdf), albedo=_strip_pad(out_p.albedo))
-        return out_p, c0, c1, mu2, tries
 
-    fn = jax.jit(
-        jax.shard_map(
-            body,
-            mesh=mesh,
-            in_specs=(p_specs, asm_specs, m_specs, rep),
-            out_specs=(p_specs, rep, rep, rep, rep),
-            check_vma=False,  # pallas_call outputs carry no vma annotation
-        )
-    )
+    fn = ctx.jitted(("gn", lm_steps, cg_iters, cg_coeff_dtype, bucketed), make)
     out_p, c0, c1, mu2, tries = fn(bp_in, basm_in, bm_in, mu)
     from intrinsic3d_tpu.grid.blocks import pad_flat
 
@@ -350,3 +479,218 @@ def place_spmd_problem(bparams, basm, bmasks, mesh: Mesh, axis: str = "data"):
         voxel_size=put(basm.voxel_size, rep),
     )
     return bparams, basm_s, bmasks
+
+
+# ---------------------------------------------------------------------------
+# SpmdLevel: the production pipeline path (assembly + solve in ONE sharded
+# region, statics placed once, jit built once per level)
+# ---------------------------------------------------------------------------
+
+
+class SpmdLevel:
+    """Per-(grid, pyramid)-level multi-chip execution of the production
+    outer loop (`refine.optimizer.optimize_level(mesh=...)`).
+
+    Construction (once per level) builds the halo plans, places the level
+    statics — occupancy/validity, fused-SDF anchor, per-voxel SH, chromaticity
+    pair weights, depth/intensity images — on the mesh (bricked per-voxel
+    fields, replicated images), localizes the frame buckets by block owner,
+    and jits ONE shard_map step that runs the ENTIRE outer-iteration body on
+    device: `device_assembly` (observation re-collection with current
+    parameters, gates, validity probe, psum'd weight normalization) followed
+    by `gn_iteration` (damped-GN/PCG with halo'd stencils and psum'd
+    globals). The outer loop then only feeds back sharded parameters and the
+    two scalars (μ, scheduled λ) — no per-iteration host re-assembly, no
+    plan rebuild, no re-jit."""
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        layout: BlockLayout,
+        st,  # refine.device_assembly.LevelStatic
+        depths: jnp.ndarray,  # [K, H, W]
+        images: jnp.ndarray,  # [K, H, W]
+        *,
+        num_obs: int,
+        width: int,
+        height: int,
+        pyr_scale: float,
+        voxel_size: float,
+        truncation: float,
+        thres_shell: float,
+        occlusion_distance: float,
+        fix_poses: bool,
+        fix_intrinsics: bool,
+        fix_distortion: bool,
+        use_albedo: bool,
+        bmap: Optional[np.ndarray] = None,  # [K, NBc] global frame buckets
+        lm_steps: int = 50,
+        cg_iters: int = 12,
+        cg_coeff_dtype: str = "bfloat16",
+        axis: str = "data",
+        ctx: Optional[SpmdContext] = None,
+    ):
+        self.ctx = ctx or make_spmd_context(layout, mesh, axis)
+        self.mesh = mesh
+        self.axis = axis
+        self.layout = layout
+        n = self.ctx.n
+        nb = layout.num_blocks
+        s = layout.block**3
+
+        blk = NamedSharding(mesh, P(axis, None))
+        mid3 = NamedSharding(mesh, P(None, axis, None))
+        rep = NamedSharding(mesh, P())
+
+        def put(x, sh):
+            return jax.device_put(jnp.asarray(x), sh)
+
+        # statics re-laid for brick sharding: pad rows stripped, per-slot
+        # [C, D] fields folded to [C, nb, B³] so the block axis shards
+        self._stat = (
+            put(_strip_pad(st.occ), blk),
+            put(_strip_pad(st.valid), blk),
+            put(jnp.asarray(st.vpos).reshape(3, nb, s), mid3),
+            put(st.es_ref, blk),
+            put(jnp.asarray(st.eg_sh).reshape(9, nb, s), mid3),
+            put(st.ea_chroma, mid3),
+        )
+        self._depths = put(depths, rep)
+        self._images = put(images, rep)
+        self._scalars = tuple(
+            put(jnp.float32(v), rep)
+            for v in (pyr_scale, voxel_size, truncation, thres_shell, occlusion_distance)
+        )
+        self._bucketed = bmap is not None
+        if self._bucketed:
+            bmap_dev, _ = localize_buckets(nb, np.asarray(bmap), n)
+            self._bmap = put(bmap_dev, NamedSharding(mesh, P(axis, None, None)))
+        else:
+            self._bmap = None
+
+        p_specs, _, blk_p, rep_p = _base_specs(axis)
+        self._p_specs = p_specs
+        stat_specs = (
+            blk_p,
+            blk_p,
+            P(None, axis, None),
+            blk_p,
+            P(None, axis, None),
+            P(None, axis, None),
+        )
+        scal_specs = tuple(rep_p for _ in self._scalars)
+        bmap_spec = P(axis, None, None) if self._bucketed else None
+        plan_spec_sdf = _plan_spec(self.ctx.sdf_plan_s, axis)
+        plan_spec_alb = _plan_spec(self.ctx.alb_plan_s, axis)
+        bucketed = self._bucketed
+
+        from intrinsic3d_tpu.refine.device_assembly import LevelStatic, device_assembly
+        from intrinsic3d_tpu.refine.solver import gn_iteration
+        from intrinsic3d_tpu.grid.blocks import pad_flat
+
+        def body(stat, sdf_plan, alb_plan, bmap_loc, bp, depths, images, scalars, lambdas, mu):
+            occ, valid, vpos, es_ref, eg_sh, ea_chroma = stat
+            st_loc = LevelStatic(
+                occ=pad_flat(occ),
+                valid=pad_flat(valid),
+                vpos=vpos.reshape(3, -1),
+                es_ref=es_ref,
+                eg_sh=eg_sh.reshape(9, -1),
+                ea_chroma=ea_chroma,
+            )
+            bp = bp._replace(sdf=pad_flat(bp.sdf), albedo=pad_flat(bp.albedo))
+            basm, bmasks = device_assembly(
+                st_loc,
+                sdf_plan,
+                alb_plan,
+                bp,
+                depths,
+                images,
+                *scalars,
+                lambdas,
+                num_obs=num_obs,
+                width=width,
+                height=height,
+                fix_poses=fix_poses,
+                fix_intrinsics=fix_intrinsics,
+                fix_distortion=fix_distortion,
+                use_albedo=use_albedo,
+                bmap=bmap_loc[0] if bucketed else None,
+                axis_name=axis,
+            )
+            out_p, c0, c1, mu2, tries = gn_iteration(
+                bp,
+                basm,
+                bmasks,
+                mu,
+                lm_steps=lm_steps,
+                cg_iters=cg_iters,
+                cg_coeff_dtype=cg_coeff_dtype,
+                axis_name=axis,
+            )
+            out_p = out_p._replace(
+                sdf=_strip_pad(out_p.sdf), albedo=_strip_pad(out_p.albedo)
+            )
+            return out_p, c0, c1, mu2, tries
+
+        self._step = jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(
+                    stat_specs,
+                    plan_spec_sdf,
+                    plan_spec_alb,
+                    bmap_spec,
+                    p_specs,
+                    rep_p,
+                    rep_p,
+                    scal_specs,
+                    rep_p,
+                    rep_p,
+                ),
+                out_specs=(p_specs, rep_p, rep_p, rep_p, rep_p),
+                check_vma=False,  # pallas_call outputs carry no vma annotation
+            )
+        )
+
+    # -- outer-loop API ----------------------------------------------------
+
+    def begin(self, bparams: Params) -> Params:
+        """Strip pad rows and place the parameters on the mesh (bricked)."""
+        blk = NamedSharding(self.mesh, P(self.axis, None))
+        rep = NamedSharding(self.mesh, P())
+        return Params(
+            sdf=jax.device_put(_strip_pad(bparams.sdf), blk),
+            albedo=jax.device_put(_strip_pad(bparams.albedo), blk),
+            poses=jax.device_put(bparams.poses, rep),
+            intr=jax.device_put(bparams.intr, rep),
+            dist=jax.device_put(bparams.dist, rep),
+        )
+
+    def step(self, bparams_s: Params, lambdas: jnp.ndarray, mu):
+        """One outer iteration: device assembly + damped-GN solve, sharded.
+
+        `bparams_s` is the stripped/placed form from `begin` (or a previous
+        `step`); returns (params', cost0, cost1, mu', tries) with params'
+        still placed — feed it straight back in."""
+        return self._step(
+            self._stat,
+            self.ctx.sdf_plan_s,
+            self.ctx.alb_plan_s,
+            self._bmap,
+            bparams_s,
+            self._depths,
+            self._images,
+            self._scalars,
+            lambdas,
+            mu,
+        )
+
+    def finish(self, bparams_s: Params) -> Params:
+        """Re-pad the voxel fields back to the `[nb+1, B³]` block form."""
+        from intrinsic3d_tpu.grid.blocks import pad_flat
+
+        return bparams_s._replace(
+            sdf=pad_flat(bparams_s.sdf), albedo=pad_flat(bparams_s.albedo)
+        )

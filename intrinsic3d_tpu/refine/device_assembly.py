@@ -111,7 +111,16 @@ def build_level_static(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_obs", "width", "height", "fix_poses", "fix_intrinsics", "fix_distortion", "use_albedo"),
+    static_argnames=(
+        "num_obs",
+        "width",
+        "height",
+        "fix_poses",
+        "fix_intrinsics",
+        "fix_distortion",
+        "use_albedo",
+        "axis_name",
+    ),
 )
 def device_assembly(
     st: LevelStatic,
@@ -134,6 +143,7 @@ def device_assembly(
     fix_distortion: bool = False,
     use_albedo: bool = True,
     bmap: jnp.ndarray | None = None,  # [K, NBc] frame buckets (blockform)
+    axis_name: str | None = None,
 ) -> Tuple[BlockAssembly, Masks]:
     """One fully-jitted relinearization assembly (zero host round trips).
 
@@ -141,7 +151,16 @@ def device_assembly(
     is FRAME-BUCKETED `[K, NBc, B³]`: observation evaluation, the validity
     probe, and all element weights are computed only for each frame's
     visible blocks — the layout that keeps many-keyframe scenes (K ≫
-    num_obs) linear in frustum coverage instead of K × grid size."""
+    num_obs) linear in frustum coverage instead of K × grid size.
+
+    `axis_name` enables manual-SPMD mode (called from inside shard_map over
+    spatially-bricked block rows, parallel/spmd.py): every per-voxel input is
+    the device-LOCAL brick, `sdf_plan`/`alb_plan` are halo-exchanging
+    `ShardedPlan`s, `bmap` holds device-LOCAL block rows, and the only truly
+    global quantities — the four per-type weight sums of the ×1000
+    normalization — are psum'd over the named axis. Everything else
+    (normals, gates, observation collection, the per-voxel top-N, the
+    validity probe, the masks) touches only locally-owned voxels."""
     nb = st.es_ref.shape[0]
     s = st.es_ref.shape[1]
     d = nb * s
@@ -297,8 +316,11 @@ def device_assembly(
     )
     eg_w = jnp.where(valid_probe != 0.0, eg_w, 0.0)
 
-    # per-type weight normalization ×1000 (``nls_solver.cpp:379-394``)
+    # per-type weight normalization ×1000 (``nls_solver.cpp:379-394``);
+    # the weight sums are the assembly's only cross-device quantities
     def norm_lam(lmbda, wsum):
+        if axis_name is not None:
+            wsum = jax.lax.psum(wsum, axis_name)
         ok = (wsum > 0.0) & (lmbda > 0.0)
         return jnp.where(ok, lmbda / jnp.where(ok, wsum, 1.0) * 1000.0, 0.0)
 

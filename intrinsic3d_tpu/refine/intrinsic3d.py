@@ -61,11 +61,19 @@ class Intrinsic3D:
         sensor,
         keyframe_ids: List[int],
         cg_iters: int = 12,
+        mesh=None,
     ):
+        """`mesh` (a `jax.sharding.Mesh`) runs every level's joint GN
+        optimization spatially sharded over the mesh's devices — bricked
+        voxel blocks with halo exchange, per-iteration assembly inside the
+        sharded region, psum'd globals (parallel/spmd.py). The surrounding
+        stages (lighting estimation, recoloring, upsample) stay
+        single-device; the solver dominates the level wall-clock."""
         self.cfg = cfg
         self.sensor = sensor
         self.keyframe_ids = list(keyframe_ids)
         self.cg_iters = cg_iters
+        self.mesh = mesh
         self.callbacks: List[Callable[[RefinementInfo], None]] = []
         self.lighting = None
 
@@ -240,6 +248,7 @@ class Intrinsic3D:
                     rgbd_lvl,
                     mu0=mu,
                     cg_iters=self.cg_iters,
+                    mesh=self.mesh,
                 )
 
                 # finish rgbd level (``intrinsic3d.cpp:353-378``)

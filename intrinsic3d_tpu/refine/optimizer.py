@@ -187,6 +187,7 @@ def optimize_level(
     mu0: float = 1e-4,
     cg_iters: int = 12,
     use_blocks: bool = True,
+    mesh=None,
 ) -> tuple[Params, float, OptimizeStats]:
     """Run cfg.iterations relinearized GN steps; returns updated params and the
     final damping (for warm-starting the next level, mirroring the reference's
@@ -197,14 +198,25 @@ def optimize_level(
     the FULLY device-resident per-iteration assembly
     (refine/device_assembly.py) — the outer loop does no host work beyond the
     two jit calls and the logging pulls. The flat-table path (host assembly +
-    jax.linearize solver) is kept as the equivalence oracle."""
+    jax.linearize solver) is kept as the equivalence oracle.
+
+    `mesh` (a `jax.sharding.Mesh`) runs the SAME outer loop spatially
+    sharded: per-device bricks of block rows with ppermute halo exchange,
+    the per-iteration device assembly (observation re-collection, gates,
+    weight normalization) INSIDE the sharded region, psum'd globals, and —
+    when the level's layout decision picks frame buckets — owner-localized
+    buckets (`parallel.spmd.SpmdLevel`). Plans and the jitted step are built
+    once per level; iterations feed placed arrays straight back."""
     pyr_scale = pyramid_level_to_scale(rgbd_level)
     h, w = int(depths_level.shape[1]), int(depths_level.shape[2])
     mu = jnp.float32(mu0)
     stats = OptimizeStats([], [], [])
+    level_spmd = None
 
     if use_blocks:
-        layout = BlockLayout.build(grid)
+        layout = BlockLayout.build(
+            grid, blocks_multiple=max(8, mesh.devices.size) if mesh is not None else 8
+        )
         st = build_level_static(layout, grid, topo, voxel_sh)
         sdf_plan, alb_plan = layout_plans(layout)
         bparams = params._replace(
@@ -240,11 +252,45 @@ def optimize_level(
                 reason,
             )
 
+        level_spmd = None
+        if mesh is not None:
+            from intrinsic3d_tpu.parallel.spmd import SpmdLevel
+
+            level_spmd = SpmdLevel(
+                mesh,
+                layout,
+                st,
+                depths_level,
+                images_level,
+                num_obs=cfg.num_observations,
+                width=w,
+                height=h,
+                pyr_scale=float(pyr_scale),
+                voxel_size=float(grid.voxel_size),
+                truncation=float(grid.truncation),
+                thres_shell=float(thres_shell),
+                occlusion_distance=float(cfg.occlusion_distance),
+                fix_poses=cfg.fix_poses,
+                fix_intrinsics=cfg.fix_intrinsics,
+                fix_distortion=cfg.fix_distortion,
+                use_albedo=cfg.lambda_a >= 0.0,
+                bmap=fb,
+                lm_steps=cfg.lm_steps,
+                cg_iters=cg_iters,
+            )
+            bparams_s = level_spmd.begin(bparams)
+
     for itr in range(cfg.iterations):
         lambda_r = compute_varying_lambda(itr, cfg.iterations, cfg.lambda_r0, cfg.lambda_r1)
         lambda_s = compute_varying_lambda(itr, cfg.iterations, cfg.lambda_s0, cfg.lambda_s1)
 
-        if use_blocks:
+        if level_spmd is not None:
+            bparams_s, cost0, cost1, mu, tries = level_spmd.step(
+                bparams_s,
+                jnp.asarray([cfg.lambda_g, lambda_r, lambda_s, cfg.lambda_a], jnp.float32),
+                mu,
+            )
+        elif use_blocks:
             basm, bmasks = device_assembly(
                 st,
                 sdf_plan,
@@ -323,6 +369,8 @@ def optimize_level(
     stats.tries = [int(t) for t in stats.tries]
     stats.mus = [float(m) for m in stats.mus]
 
+    if level_spmd is not None:
+        bparams = level_spmd.finish(bparams_s)
     if use_blocks:
         params = params_from_block(layout, bparams)
     return params, float(mu), stats

@@ -1,0 +1,138 @@
+"""Mid-scale golden-parity regression (VERDICT r2 "missing #2").
+
+Same harness as tests/test_golden.py, at the scale the toy pin cannot reach:
+320x240 x 20 frames x **3 grid levels** with the frame-bucketed E_g element
+layout forced on — the multi-level schedule and the bucketed assembly path
+are inside the regression gate. Goldens live under
+``tests/goldens/sphere_mid/``; regenerate after an intentional numerical
+change with
+
+    I3D_GOLDEN_REGEN=1 python -m pytest tests/test_golden_mid.py -q -o addopts=
+
+or  python tools/make_golden_dataset.py --spec mid --run --regen-goldens
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from intrinsic3d_tpu.io.ply import load_ply
+from intrinsic3d_tpu.io.tsdf_io import load_tsdf
+from intrinsic3d_tpu.io.trajectory import load_poses
+from intrinsic3d_tpu.mesh.metrics import chamfer_distance, mesh_error_vs_analytic
+from tests.test_golden import REGEN, _materialize_golden, _read_golden
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens", "sphere_mid")
+
+PINNED = [
+    "fusion/keyframes.txt",
+    "fusion/volume.tsdf",
+    "fusion/mesh.ply",
+    "intrinsic3d/mesh_g1_p0.ply",  # mid-schedule level (catches multi-level drift)
+    "intrinsic3d/mesh_g0_p0.ply",
+    "intrinsic3d/poses_g0_p0.txt",
+    "intrinsic3d/intrinsics_g0_p0.txt",
+]
+
+
+@pytest.fixture(scope="module")
+def pipeline_mid(tmp_path_factory):
+    from intrinsic3d_tpu.apps import app_fusion, app_intrinsic3d, app_keyframes
+    from intrinsic3d_tpu.io.golden_dataset import GoldenSceneSpec, export_sphere_dataset
+
+    spec = GoldenSceneSpec.mid_scale()
+    root = str(tmp_path_factory.mktemp("golden_mid"))
+    sensor_yml = export_sphere_dataset(root, spec)
+    cwd = os.getcwd()
+    try:
+        for app, cfg in [
+            (app_keyframes, "keyframes.yml"),
+            (app_fusion, "fusion.yml"),
+            (app_intrinsic3d, "intrinsic3d.yml"),
+        ]:
+            assert app.main(["-s", sensor_yml, "-c", os.path.join(root, cfg)]) == 0
+            os.chdir(cwd)
+    finally:
+        os.chdir(cwd)
+
+    if REGEN:
+        from tools.make_golden_dataset import pin_artifacts
+
+        pin_artifacts(root, GOLDEN_DIR, PINNED)
+    return root, spec
+
+
+def test_mid_artifacts_exist(pipeline_mid):
+    root, spec = pipeline_mid
+    for rel in PINNED:
+        assert os.path.exists(os.path.join(root, rel)), rel
+    # the 3-level schedule really ran: meshes for g2, g1, g0 all exist
+    for g in range(spec.grid_levels):
+        assert os.path.exists(os.path.join(root, f"intrinsic3d/mesh_g{g}_p0.ply"))
+
+
+def test_mid_tsdf_golden(pipeline_mid, tmp_path):
+    root, _ = pipeline_mid
+    vol = load_tsdf(os.path.join(root, "fusion/volume.tsdf"))
+    gpath = _materialize_golden(GOLDEN_DIR, "fusion/volume.tsdf", str(tmp_path))
+    gold = load_tsdf(gpath)
+    assert vol.voxel_size == pytest.approx(gold.voxel_size)
+    key = lambda c: (c[:, 0].astype(np.int64) << 42) + (c[:, 1].astype(np.int64) << 21) + c[:, 2]
+    ka, kg = key(vol.coords), key(gold.coords)
+    oa, og = np.argsort(ka), np.argsort(kg)
+    np.testing.assert_array_equal(ka[oa], kg[og])
+    np.testing.assert_allclose(vol.sdf[oa], gold.sdf[og], atol=2e-4)
+    np.testing.assert_allclose(vol.weight[oa], gold.weight[og], rtol=1e-3, atol=1e-2)
+
+
+def test_mid_keyframes_golden(pipeline_mid):
+    root, _ = pipeline_mid
+    produced = open(os.path.join(root, "fusion/keyframes.txt")).read().splitlines()
+    golden = _read_golden(GOLDEN_DIR, "fusion/keyframes.txt").decode().splitlines()
+    assert produced[0] == golden[0]
+    assert len(produced) == len(golden)
+    for lp, lg in zip(produced[1:], golden[1:]):
+        sp, fp = lp.split()
+        sg, fg = lg.split()
+        assert fp == fg
+        assert abs(float(sp) - float(sg)) < 1e-5
+
+
+@pytest.mark.parametrize("rel", ["intrinsic3d/mesh_g1_p0.ply", "intrinsic3d/mesh_g0_p0.ply"])
+def test_mid_refined_meshes_golden(pipeline_mid, tmp_path, rel):
+    root, spec = pipeline_mid
+    verts, faces, _ = load_ply(os.path.join(root, rel))
+    assert len(verts) > 1000
+    gpath = _materialize_golden(GOLDEN_DIR, rel, str(tmp_path))
+    gv, gf, _ = load_ply(gpath)
+    lvl = int(rel.split("_g")[1][0])
+    voxel = spec.voxel_size / (2 ** (spec.grid_levels - 1 - lvl))
+    ch = chamfer_distance(verts, faces, gv, gf, num_samples=20000)
+    assert ch["symmetric_mean"] < 0.2 * voxel
+
+
+def test_mid_poses_golden(pipeline_mid, tmp_path):
+    root, _ = pipeline_mid
+    poses, _ = load_poses(os.path.join(root, "intrinsic3d/poses_g0_p0.txt"))
+    gpath = _materialize_golden(GOLDEN_DIR, "intrinsic3d/poses_g0_p0.txt", str(tmp_path))
+    gposes, _ = load_poses(gpath)
+    assert len(poses) == len(gposes)
+    for T, G in zip(poses, gposes):
+        np.testing.assert_allclose(T[:3, 3], G[:3, 3], atol=5e-4)
+        np.testing.assert_allclose(T[:3, :3], G[:3, :3], atol=2e-3)
+
+
+def test_mid_refined_mesh_error_vs_analytic(pipeline_mid):
+    """Quality gate at mid scale: the 3-level refined mesh tracks the analytic
+    sphere to a fraction of the FINAL voxel size."""
+    root, spec = pipeline_mid
+    center = np.asarray(spec.center)
+    final_voxel = spec.voxel_size / (2 ** (spec.grid_levels - 1))
+    verts, faces, _ = load_ply(os.path.join(root, "intrinsic3d/mesh_g0_p0.ply"))
+    err = mesh_error_vs_analytic(
+        verts, faces, lambda p: np.linalg.norm(p - center, axis=-1) - spec.radius,
+        num_samples=20000,
+    )
+    assert err["rms"] < 2.0 * final_voxel
+    assert np.all(np.isfinite(verts))

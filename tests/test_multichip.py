@@ -206,7 +206,79 @@ def test_spmd_spatial_sharding_matches_single_device(problem):
     )
 
 
-def test_spmd_halo_memory_is_surface_not_volume():
+def test_optimize_level_spmd_matches_single_device(problem):
+    """The PRODUCTION outer loop under a mesh (`optimize_level(mesh=...)`):
+    per-iteration device assembly + damped GN both run inside the sharded
+    region (parallel/spmd.py::SpmdLevel, plans/jit built once per level);
+    per-iteration costs and final parameters match the single-device path
+    for both the dense and the frame-bucketed element layouts."""
+    import dataclasses
+
+    from intrinsic3d_tpu.refine.optimizer import optimize_level
+
+    prob, _, _ = problem
+    mesh = make_mesh(8)
+    for mode in ("never", "always"):
+        cfg = dataclasses.replace(
+            prob.cfg, iterations=2, lm_steps=6, frame_bucketing=mode,
+            lambda_r0=20.0, lambda_r1=20.0, lambda_s0=20.0, lambda_s1=20.0,
+        )
+        args = (
+            prob.grid, prob.topo, prob.params, cfg, prob.cam,
+            prob.depths, prob.images, prob.voxel_sh, prob.thres_shell,
+        )
+        p_ref, _, st_ref = optimize_level(*args, rgbd_level=0)
+        p_spmd, _, st_spmd = optimize_level(*args, rgbd_level=0, mesh=mesh)
+        np.testing.assert_allclose(
+            st_spmd.costs_before, st_ref.costs_before, rtol=1e-4, err_msg=mode
+        )
+        np.testing.assert_allclose(
+            st_spmd.costs_after, st_ref.costs_after, rtol=1e-3, err_msg=mode
+        )
+        np.testing.assert_allclose(
+            np.asarray(p_spmd.sdf), np.asarray(p_ref.sdf), atol=5e-4, err_msg=mode
+        )
+        np.testing.assert_allclose(
+            np.asarray(p_spmd.albedo), np.asarray(p_ref.albedo), atol=5e-4, err_msg=mode
+        )
+
+
+def test_spmd_placed_parameter_memory_is_brick(problem):
+    """Measured (not plan-arithmetic) per-device bytes of the placed SPMD
+    problem: every voxel-shaped parameter and element array holds 1/n of the
+    global bytes per device — spatial sharding actually divides memory."""
+    from intrinsic3d_tpu.grid.blocks import BlockLayout
+    from intrinsic3d_tpu.refine.blockform import to_block_problem
+    from intrinsic3d_tpu.refine.device_assembly import build_level_static
+    from intrinsic3d_tpu.parallel.spmd import SpmdLevel
+
+    prob, asm, masks = problem
+    layout = BlockLayout.build(prob.grid, blocks_multiple=8)
+    bp, basm, bm = to_block_problem(
+        layout, prob.topo.coords, asm, masks, prob.params, num_obs=2
+    )
+    mesh = make_mesh(8)
+    st = build_level_static(layout, prob.grid, prob.topo, prob.voxel_sh)
+    cfgp = prob.cfg
+    level = SpmdLevel(
+        mesh, layout, st, prob.depths, prob.images,
+        num_obs=2, width=int(prob.images.shape[2]), height=int(prob.images.shape[1]),
+        pyr_scale=1.0, voxel_size=prob.grid.voxel_size,
+        truncation=prob.grid.truncation, thres_shell=prob.thres_shell,
+        occlusion_distance=cfgp.occlusion_distance,
+        fix_poses=False, fix_intrinsics=False, fix_distortion=False,
+        use_albedo=True, lm_steps=3, cg_iters=4,
+    )
+    bp_s = level.begin(bp)
+
+    def shard_bytes(x):
+        shards = x.addressable_shards
+        per = [s.data.size * s.data.dtype.itemsize for s in shards]
+        return max(per), x.size * x.dtype.itemsize
+
+    for arr in (bp_s.sdf, bp_s.albedo, *level._stat[:2], level._stat[3]):
+        per, total = shard_bytes(arr)
+        assert per * 8 <= total * 1.01, (per, total)
     """Per-device parameter memory under spatial sharding at realistic
     scale: a brick plus a halo surface — far below replication (the VERDICT
     §4 done-bound replicated/4 at n=8). Plan-only (host numpy): a spherical
