@@ -26,7 +26,13 @@ def run(sensor, cfg: KeyframesConfig, batch: int = 16) -> KeyframeSelection:
     for beg in range(0, n, batch):
         end = min(beg + batch, n)
         frames = np.stack([sensor.color(i) for i in range(beg, end)])
-        scores = np.asarray(blur_scores_batch(jnp.asarray(frames)))
+        if end - beg < batch and n > batch:
+            # pad the ragged tail to the full batch shape: ONE compiled blur
+            # graph serves every batch (a second shape costs a full remote
+            # compile on a cold cache, ~250 s on the tunnel link)
+            pad = np.zeros((batch - (end - beg),) + frames.shape[1:], frames.dtype)
+            frames = np.concatenate([frames, pad])
+        scores = np.asarray(blur_scores_batch(jnp.asarray(frames)))[: end - beg]
         sel.add_scores(scores.tolist())
         log.info("   scored frames %d..%d", beg, end - 1)
     sel.select()

@@ -52,7 +52,11 @@ class GoldenSceneSpec:
     # Mid-scale pin the CPU suite can afford (tests/test_golden_mid.py):
     # 320x240 x 20 frames x 3 grid levels with the frame-bucketed layout
     # forced — covers the multi-level schedule and the bucketed element path
-    # the toy pin cannot reach. Regenerate with
+    # the toy pin cannot reach. Voxel 20 mm -> 5 mm keeps the finest level
+    # ~35k voxels: a 0.012 start put 107k voxels on the finest level and one
+    # outer iteration alone took >9 min on the 2-core CPU container (that
+    # scale lives in tools/bench_multichip_scale.py and the TPU benches).
+    # Regenerate with
     #   python tools/make_golden_dataset.py --spec mid --run --regen-goldens
     @classmethod
     def mid_scale(cls) -> "GoldenSceneSpec":
@@ -60,7 +64,7 @@ class GoldenSceneSpec:
             num_frames=20,
             width=320,
             height=240,
-            voxel_size=0.012,
+            voxel_size=0.02,
             grid_levels=3,
             rgbd_levels=2,
             iterations=2,
