@@ -83,6 +83,11 @@ def main():
     ap.add_argument("--window", type=int, default=3)
     ap.add_argument("--num-obs", type=int, default=5)
     ap.add_argument("--cg-dtype", default="bfloat16")
+    # "capped" = the K-bounded bucket speed mode (documented divergence from
+    # the reference's per-voxel top-N over ALL frames; quality gated by the
+    # mesh-error numbers this bench reports). "auto" keeps layouts exact.
+    ap.add_argument("--bucketing", default="capped",
+                    choices=("auto", "capped", "always", "never"))
     args = ap.parse_args()
     width, height = (int(v) for v in args.size.split("x"))
 
@@ -101,7 +106,9 @@ def main():
 
     center = np.asarray(DEFAULT_CENTER)
 
-    logging.basicConfig(level=logging.INFO, format="%(message)s", stream=sys.stderr)
+    logging.basicConfig(
+        level=logging.INFO, format="[%(relativeCreated)8.0f ms] %(message)s", stream=sys.stderr
+    )
     _progress("generating dataset ...")
     t_ds = time.perf_counter()
     sensor = build_dataset(args.frames, width, height, center, args.radius)
@@ -167,6 +174,7 @@ def main():
         fix_poses=False,
         fix_intrinsics=True,
         fix_distortion=True,
+        frame_bucketing=args.bucketing,
     )
     engine = Intrinsic3D(cfg, sensor, kf_ids)
     refined = engine.refine(grid)
@@ -209,6 +217,7 @@ def main():
             "chip_claim_s": round(claim_s, 2),
             "total_with_claim_s": round(total_s + claim_s, 2),
             "dataset_gen_s": round(dataset_s, 2),
+            "frame_bucketing": args.bucketing,
             "frames": args.frames,
             "keyframes_selected": len(kf_ids),
             "image": f"{width}x{height}",

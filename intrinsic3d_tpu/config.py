@@ -239,8 +239,11 @@ class RefinementConfig:
     fix_distortion: bool = False
     # E_g element layout for the block solver: "auto" buckets elements by
     # per-frame visible blocks when coverage is partial (many-keyframe
-    # scenes), "always"/"never" force it (no reference equivalent — the
-    # TPU-side answer to Ceres' per-residual sparsity)
+    # scenes), "always"/"never" force it, "capped" additionally allows the
+    # K-bounded per-block frame cap as a SPEED choice (documented divergence
+    # from the reference's per-voxel top-N over all frames — see
+    # refine/optimizer.py::plan_eg_layout). No reference equivalent — the
+    # TPU-side answer to Ceres' per-residual sparsity.
     frame_bucketing: str = "auto"
 
     output_mesh_prefix: str = ""

@@ -56,13 +56,19 @@ class BlockLayout:
         lo: int = 1,
         hi: int = 2,
         blocks_multiple: int = 8,
+        halo_table: bool = True,
     ) -> "BlockLayout":
         """Partition the grid's voxels into blocks and precompute the halo
         gather plan (margins sized for the E_g stencil: −1 … +2).
 
         `blocks_multiple` pads the block count with empty, mutually
         non-adjacent blocks beyond the grid's corner so the block axis shards
-        evenly over a device mesh (parallel/sharding.py)."""
+        evenly over a device mesh (parallel/sharding.py).
+
+        `halo_table=False` skips the per-cell `halo_src` gather table (nb·W³
+        host lookups — the dominant build cost at large nb); consumers that
+        only need the structured 27-direction exchange (`halo27`) don't pay
+        for it."""
         B = block
         coords = grid.coords.astype(np.int64)
         bc = np.floor_divide(coords, B)
@@ -97,24 +103,27 @@ class BlockLayout:
 
         # halo plan: for each block, every window position → owning slot
         W = B + lo + hi
-        r = np.arange(-lo, B + hi)
-        gx, gy, gz = np.meshgrid(r, r, r, indexing="ij")  # [W,W,W]
-        offs = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)  # [W³,3]
-        # absolute voxel coords of every window cell of every block
-        abs_coords = (
-            block_coords[:, None, :] * B + offs[None, :, :]
-        )  # [nb, W³, 3]
-        owner_bc = np.floor_divide(abs_coords, B)
-        owner_keys = pack_coords(owner_bc.reshape(-1, 3))
-        pos = np.searchsorted(ukeys, owner_keys)
-        pos_c = np.clip(pos, 0, nb - 1)
-        hit = (pos < nb) & (ukeys[pos_c] == owner_keys)
-        owner_id = np.where(hit, pos_c, -1)
-        olc = abs_coords.reshape(-1, 3) - owner_bc.reshape(-1, 3) * B
-        oslot = (olc[:, 0] * B + olc[:, 1]) * B + olc[:, 2]
-        flat = np.where(owner_id >= 0, owner_id * (B**3) + oslot, -1)
-        # absent blocks → −1; present-but-empty slots stay (masking uses occupancy)
-        halo_src = flat.reshape(nb, W, W, W).astype(np.int64)
+        if halo_table:
+            r = np.arange(-lo, B + hi)
+            gx, gy, gz = np.meshgrid(r, r, r, indexing="ij")  # [W,W,W]
+            offs = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)  # [W³,3]
+            # absolute voxel coords of every window cell of every block
+            abs_coords = (
+                block_coords[:, None, :] * B + offs[None, :, :]
+            )  # [nb, W³, 3]
+            owner_bc = np.floor_divide(abs_coords, B)
+            owner_keys = pack_coords(owner_bc.reshape(-1, 3))
+            pos = np.searchsorted(ukeys, owner_keys)
+            pos_c = np.clip(pos, 0, nb - 1)
+            hit = (pos < nb) & (ukeys[pos_c] == owner_keys)
+            owner_id = np.where(hit, pos_c, -1)
+            olc = abs_coords.reshape(-1, 3) - owner_bc.reshape(-1, 3) * B
+            oslot = (olc[:, 0] * B + olc[:, 1]) * B + olc[:, 2]
+            flat = np.where(owner_id >= 0, owner_id * (B**3) + oslot, -1)
+            # absent blocks → −1; present-but-empty slots stay (masking uses occupancy)
+            halo_src = flat.reshape(nb, W, W, W).astype(np.int64)
+        else:
+            halo_src = None
 
         # 27-direction block adjacency: one row per (block, 3³ direction) → the
         # neighbor's row, or `nb` (the zero pad block) when absent. This is the

@@ -97,6 +97,57 @@ def _assemble_and_solve(
     return x
 
 
+@functools.partial(jax.jit, static_argnames=("num_subvolumes", "weighted"))
+def _estimate_full(
+    sdfr,  # [N]
+    validm,  # [N] bool fusion-valid
+    nbr4,  # [N, 4] normal-stencil neighbor table
+    albedo,  # [N]
+    color,  # [N, 3] 0..255
+    subvol,  # [N] int32 (−1 = outside partition)
+    pairs,  # [P, 2] int32 directed neighbor pairs
+    num_subvolumes,  # static
+    weighted,  # static
+    lambda_reg,
+    thres_shell,
+    truncation,
+):
+    """Whole SVSH estimate as ONE program over the full voxel table.
+
+    Normals, the SH basis, luminance, gating and the block-sparse solve fuse
+    into a single jit keyed only on (N, S, P) — stable across a grid level's
+    pyramid levels, unlike the earlier compact-to-M staging whose
+    data-dependent M forced a recompile + remote program load on EVERY call
+    (BENCH_NOTES "Per-level program-load latency"). Invalid rows carry
+    weight 0 and a clamped subvolume id: identical normal equations.
+
+    Returns (coeffs [S, 9], number of contributing voxels)."""
+    normals, nvalid = gops.surface_normals(sdfr, nbr4, validm)
+    H = sh_basis(normals)
+    lum = intensity(color) / 255.0
+    valid = (
+        validm
+        & (jnp.abs(sdfr) <= thres_shell)
+        & nvalid
+        & (albedo != 0.0)
+        & ~jnp.isnan(albedo)
+        & (subvol >= 0)
+    )
+    w = sdf_to_weight(sdfr, truncation) if weighted else jnp.ones_like(sdfr)
+    w = jnp.where(valid, w, 0.0).astype(jnp.float32)
+    coeffs = _assemble_and_solve(
+        H,
+        albedo.astype(jnp.float32),
+        lum.astype(jnp.float32),
+        w,
+        jnp.maximum(subvol, 0).astype(jnp.int32),
+        pairs,
+        num_subvolumes,
+        lambda_reg,
+    )
+    return coeffs, jnp.sum(valid)
+
+
 @dataclasses.dataclass
 class SVSHResult:
     subvolumes: Subvolumes
@@ -120,46 +171,57 @@ def estimate_svsh(
     if sub.count == 0:
         return None
 
-    if normals is None:
-        nbr4 = grid.neighbor_table(NORMAL_OFFSETS)
-        normals_j, nvalid_j = gops.surface_normals(
-            jnp.asarray(grid.sdf_refined), jnp.asarray(nbr4), jnp.asarray(grid.valid_mask())
-        )
-        normals = np.asarray(normals_j)
-        normal_valid = np.asarray(nvalid_j)
-
     subvol = sub.point_to_subvolume(pts)
-    albedo = grid.albedo
-    lum = np.asarray(intensity(jnp.asarray(grid.color))) / 255.0
 
-    valid = (
-        grid.valid_mask()
-        & (np.abs(grid.sdf_refined) <= thres_shell)
-        & normal_valid
-        & (albedo != 0.0)
-        & ~np.isnan(albedo)
-        & (subvol >= 0)
-    )
-    if not np.any(valid):
-        return None
+    if normals is not None:
+        # caller-supplied normals (tests / visualization): legacy staged path
+        lum = np.asarray(intensity(jnp.asarray(grid.color))) / 255.0
+        albedo = grid.albedo
+        valid = (
+            grid.valid_mask()
+            & (np.abs(grid.sdf_refined) <= thres_shell)
+            & normal_valid
+            & (albedo != 0.0)
+            & ~np.isnan(albedo)
+            & (subvol >= 0)
+        )
+        if not np.any(valid):
+            return None
+        w = np.ones(grid.num_voxels, np.float32)
+        if weighted:
+            w = np.asarray(sdf_to_weight(jnp.asarray(grid.sdf_refined), grid.truncation))
+        w = np.where(valid, w, 0.0).astype(np.float32)
+        m = np.flatnonzero(valid)
+        H = np.asarray(sh_basis(jnp.asarray(normals[m])))
+        coeffs = _assemble_and_solve(
+            jnp.asarray(H),
+            jnp.asarray(albedo[m], jnp.float32),
+            jnp.asarray(lum[m], jnp.float32),
+            jnp.asarray(w[m]),
+            jnp.asarray(subvol[m].astype(np.int32)),
+            jnp.asarray(sub.neighbor_pairs()),
+            sub.count,
+            lambda_reg,
+        )
+        return SVSHResult(subvolumes=sub, coeffs=np.asarray(coeffs))
 
-    w = np.ones(grid.num_voxels, np.float32)
-    if weighted:
-        w = np.asarray(sdf_to_weight(jnp.asarray(grid.sdf_refined), grid.truncation))
-    w = np.where(valid, w, 0.0).astype(np.float32)
-
-    m = np.flatnonzero(valid)
-    H = np.asarray(sh_basis(jnp.asarray(normals[m])))
-    coeffs = _assemble_and_solve(
-        jnp.asarray(H),
-        jnp.asarray(albedo[m], jnp.float32),
-        jnp.asarray(lum[m], jnp.float32),
-        jnp.asarray(w[m]),
-        jnp.asarray(subvol[m].astype(np.int32)),
+    nbr4 = grid.neighbor_table(NORMAL_OFFSETS)
+    coeffs, nvalid = _estimate_full(
+        jnp.asarray(grid.sdf_refined),
+        jnp.asarray(grid.valid_mask()),
+        jnp.asarray(nbr4),
+        jnp.asarray(grid.albedo, jnp.float32),
+        jnp.asarray(grid.color, jnp.float32),
+        jnp.asarray(subvol.astype(np.int32)),
         jnp.asarray(sub.neighbor_pairs()),
         sub.count,
-        lambda_reg,
+        weighted,
+        jnp.float32(lambda_reg),
+        jnp.float32(thres_shell),
+        jnp.float32(grid.truncation),
     )
+    if int(nvalid) == 0:
+        return None
     return SVSHResult(subvolumes=sub, coeffs=np.asarray(coeffs))
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import time
 from typing import Callable, List, Optional
 
 import jax.numpy as jnp
@@ -25,7 +26,6 @@ from intrinsic3d_tpu.grid import algorithms as alg
 from intrinsic3d_tpu.grid import ops as gops
 from intrinsic3d_tpu.grid.voxel_grid import NORMAL_OFFSETS, VoxelGrid
 from intrinsic3d_tpu.image.processing import resize_depth
-from intrinsic3d_tpu.image.pyramid import Pyramid
 from intrinsic3d_tpu.lighting.svsh import estimate_svsh, voxel_sh_coeffs
 from intrinsic3d_tpu.mathutil import (
     compute_varying_lambda,
@@ -85,29 +85,49 @@ class Intrinsic3D:
         self.dist0 = np.zeros(5, np.float32)
 
         log.info("   convert and store input frames (%d keyframes)", len(self.keyframe_ids))
-        depths, intens, colors, poses = [], [], [], []
-        for i in self.keyframe_ids:
-            color = sensor.color(i)  # [H, W, 3] float 0..1
-            depth = np.asarray(
-                resize_depth(sensor.depth_cam, jnp.asarray(sensor.depth(i)), cam)
-            )
-            pyr = Pyramid.create(cfg.num_rgbd_levels, color, depth)
-            depths.append([np.asarray(d) for d in pyr.depth])
-            intens.append([np.asarray(x) for x in pyr.intensity])
-            colors.append(np.asarray(pyr.color[0] * 255.0).astype(np.uint8))
-            T_w2c = invert_pose(sensor.pose(i))
-            poses.append(pose_matrix_to_vec(T_w2c))
+        t0 = time.perf_counter()
+        colors_np = np.stack(
+            [np.asarray(sensor.color(i), np.float32) for i in self.keyframe_ids]
+        )  # [K, H, W, 3] 0..1
+        depths_np = np.stack(
+            [np.asarray(sensor.depth(i), np.float32) for i in self.keyframe_ids]
+        )
+        poses = [pose_matrix_to_vec(invert_pose(sensor.pose(i))) for i in self.keyframe_ids]
 
         self.num_levels = cfg.num_rgbd_levels
-        # stacked per-level device arrays
-        self.depths_lvl = [
-            jnp.asarray(np.stack([d[l] for d in depths])) for l in range(self.num_levels)
-        ]
-        self.intens_lvl = [
-            jnp.asarray(np.stack([x[l] for x in intens])) for l in range(self.num_levels)
-        ]
-        self.colors0 = jnp.asarray(np.stack(colors))  # [K, H, W, 3] u8
+        # ALL keyframes' depth reprojection + color/intensity/depth pyramids
+        # in ONE jitted batched program: the per-frame eager ops of
+        # `Pyramid.create` cost a remote dispatch (and a one-time program
+        # load) EACH on a tunnel link — measured ~60 s of the refinement
+        # start-up at 10 keyframes × 640×480 (BENCH_NOTES "Per-level
+        # program-load latency")
+        import jax
+
+        from intrinsic3d_tpu.image.pyramid import depth_down, pyr_down
+        from intrinsic3d_tpu.color import intensity as rgb_intensity
+
+        depth_cam = sensor.depth_cam
+        num_levels = self.num_levels
+
+        def _stacks(colors, depths):
+            depths = jax.vmap(lambda d: resize_depth(depth_cam, d, cam))(depths)
+            c = colors
+            ds = [depths]
+            xs = [jax.vmap(rgb_intensity)(c)]
+            for _ in range(1, num_levels):
+                c = jax.vmap(pyr_down)(c)
+                xs.append(jax.vmap(rgb_intensity)(c))
+                ds.append(jax.vmap(depth_down)(ds[-1]))
+            return tuple(ds), tuple(xs)
+
+        ds, xs = jax.jit(_stacks)(jnp.asarray(colors_np), jnp.asarray(depths_np))
+        self.depths_lvl = list(ds)
+        self.intens_lvl = list(xs)
+        self.colors0 = jnp.asarray(
+            np.clip(colors_np * 255.0, 0.0, 255.0).astype(np.uint8)
+        )  # [K, H, W, 3] u8
         self.poses0 = np.stack(poses).astype(np.float32)  # [K, 6] world→cam
+        log.info("   frame pyramids built: %.1fs", time.perf_counter() - t0)
 
     def add_callback(self, cb: Callable[[RefinementInfo], None]):
         self.callbacks.append(cb)
@@ -203,8 +223,13 @@ class Intrinsic3D:
                 )
             thres_shell = factor * grid.voxel_size
             if cfg.clear_distant_voxels:
+                t0 = time.perf_counter()
                 grid = alg.clear_voxels_outside_thin_shell(grid, thres_shell)
-                log.info("   sparsified to %d voxels", grid.num_voxels)
+                log.info(
+                    "   sparsified to %d voxels (%.1fs)",
+                    grid.num_voxels,
+                    time.perf_counter() - t0,
+                )
                 params = Params(
                     sdf=jnp.asarray(grid.sdf_refined),
                     albedo=jnp.asarray(grid.albedo),
@@ -221,6 +246,7 @@ class Intrinsic3D:
                 log.info("level %d (pyramid %d)", grid_lvl, rgbd_lvl)
 
                 # lighting estimation (``intrinsic3d.cpp:250-270``)
+                t0 = time.perf_counter()
                 self._write_back(grid, params)
                 svsh = estimate_svsh(
                     grid,
@@ -234,6 +260,7 @@ class Intrinsic3D:
                     break
                 self.lighting = svsh
                 voxel_sh = voxel_sh_coeffs(svsh, grid, thres_shell)
+                log.info("   svsh + per-voxel coeffs: %.1fs", time.perf_counter() - t0)
 
                 params, mu, _ = optimize_level(
                     grid,
@@ -252,9 +279,11 @@ class Intrinsic3D:
                 )
 
                 # finish rgbd level (``intrinsic3d.cpp:353-378``)
+                t0 = time.perf_counter()
                 self._write_back(grid, params)
                 self.recompute_colors(grid, params)
                 self._update_sensor(params)
+                log.info("   recolor + write-back: %.1fs", time.perf_counter() - t0)
 
                 info = RefinementInfo(
                     grid_level=grid_lvl,
@@ -270,8 +299,10 @@ class Intrinsic3D:
 
             # finish grid level: ×2 upsample (``intrinsic3d.cpp:320-333``)
             if grid_lvl > 0:
+                t0 = time.perf_counter()
                 self._write_back(grid, params)
                 grid = alg.upsample(grid)
+                log.info("   upsampled x2: %.1fs", time.perf_counter() - t0)
                 params = Params(
                     sdf=jnp.asarray(grid.sdf_refined),
                     albedo=jnp.asarray(grid.albedo),

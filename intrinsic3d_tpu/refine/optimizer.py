@@ -7,9 +7,12 @@ Gauss-Newton step on device."""
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
+import time
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -89,6 +92,13 @@ def plan_eg_layout(
       the element count (the many-keyframe regime, BENCH_NOTES "K ≫
       num_obs") — the decision is made on an UNCAPPED build so the
       speed-win path stays exact (per-voxel top-N over all K frames);
+    - ``cfg.frame_bucketing == "capped"`` additionally considers the
+      PER-BLOCK FRAME-CAPPED layout (cap = num_observations + 3) as a speed
+      candidate: elements are bounded at cap·nb·B³ for ANY keyframe count.
+      This is a documented, opt-in divergence from the reference's
+      per-voxel top-N over all K frames (each block's candidate set drops
+      its worst views; step quality pinned within a few percent by
+      tests/test_frame_buckets.py) — the exact modes never cap for speed;
     - bucketing is FORCED when the dense element fields would blow the HBM
       budget; only if the exact bucketed layout STILL exceeds the budget is
       the per-block frame cap engaged (benign approximation: each block
@@ -125,12 +135,25 @@ def plan_eg_layout(
     dense_bytes = k * nb * s * bytes_per_element
     win_speed = 2 * fb.shape[1] <= nb
     win_memory = dense_bytes > budget and fb.shape[1] < nb
-    if not (cfg.frame_bucketing == "always" or win_speed or win_memory):
-        return None, "dense (full frame coverage, fits HBM)"
-
     reason = "memory-forced" if (win_memory and not win_speed) else (
         "speed" if win_speed else "forced by config"
     )
+    cap = cfg.num_observations + 3
+    if (
+        cfg.frame_bucketing == "capped"
+        and not (win_speed or win_memory)
+        and k > cap
+    ):
+        # opt-in K-bounded speed mode: a capped bucket build can win where
+        # the exact one cannot (per-block candidate frames drop the worst
+        # views; BENCH_NOTES "K-scaling measurements")
+        fbc = build_frame_buckets(
+            **common, margin_px=0.15 * max(width, height), max_frames_per_block=cap
+        )
+        if 2 * fbc.shape[1] <= nb:
+            return fbc, f"speed, frame-capped at {cap} (opt-in)"
+    if not (cfg.frame_bucketing == "always" or win_speed or win_memory):
+        return None, "dense (full frame coverage, fits HBM)"
     bucket_bytes = k * fb.shape[1] * s * bytes_per_element
     if bucket_bytes > budget:
         # exact buckets still too big: engage the per-block frame cap
@@ -152,6 +175,78 @@ def plan_eg_layout(
                 budget / 1e9,
             )
     return fb, reason
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_obs",
+        "width",
+        "height",
+        "fix_poses",
+        "fix_intrinsics",
+        "fix_distortion",
+        "use_albedo",
+        "lm_steps",
+        "cg_iters",
+    ),
+)
+def _fused_outer_step(
+    st,
+    sdf_plan,
+    alb_plan,
+    bparams,
+    depths,
+    images,
+    pyr_scale,
+    voxel_size,
+    truncation,
+    thres_shell,
+    occlusion_distance,
+    lambdas,
+    mu,
+    bmap,
+    *,
+    num_obs,
+    width,
+    height,
+    fix_poses,
+    fix_intrinsics,
+    fix_distortion,
+    use_albedo,
+    lm_steps,
+    cg_iters,
+):
+    """Device assembly + damped-GN step as ONE program.
+
+    The two halves are separately-jitted functions (inlined here); fusing
+    them matters on the remote-tunnel link, where loading a compiled
+    program onto the chip costs tens of seconds per (grid, pyramid) level —
+    one program per level instead of two halves the per-level load latency
+    (measured in BENCH_NOTES "Per-level program-load latency")."""
+    basm, bmasks = device_assembly(
+        st,
+        sdf_plan,
+        alb_plan,
+        bparams,
+        depths,
+        images,
+        pyr_scale,
+        voxel_size,
+        truncation,
+        thres_shell,
+        occlusion_distance,
+        lambdas,
+        num_obs=num_obs,
+        width=width,
+        height=height,
+        fix_poses=fix_poses,
+        fix_intrinsics=fix_intrinsics,
+        fix_distortion=fix_distortion,
+        use_albedo=use_albedo,
+        bmap=bmap,
+    )
+    return gn_iteration(bparams, basm, bmasks, mu, lm_steps, cg_iters)
 
 
 @dataclasses.dataclass
@@ -214,6 +309,7 @@ def optimize_level(
     level_spmd = None
 
     if use_blocks:
+        t0 = time.perf_counter()
         layout = BlockLayout.build(
             grid, blocks_multiple=max(8, mesh.devices.size) if mesh is not None else 8
         )
@@ -223,6 +319,8 @@ def optimize_level(
             sdf=table_to_dense(layout, params.sdf),
             albedo=table_to_dense(layout, params.albedo),
         )
+        t_static = time.perf_counter() - t0
+        t0 = time.perf_counter()
         # frame-bucketed E_g elements: worth the ~2x per-element stencil
         # traffic when per-frame visibility is a fraction of the grid (the
         # many-keyframe regime where the dense [K, D] layout would scale
@@ -251,6 +349,14 @@ def optimize_level(
                 100.0 * fb.shape[1] / layout.num_blocks,
                 reason,
             )
+
+        log.info(
+            "   level setup: layout+static %.1fs, bucket plan %.1fs (%d blocks, %d voxels)",
+            t_static,
+            time.perf_counter() - t0,
+            layout.num_blocks,
+            grid.num_voxels,
+        )
 
         level_spmd = None
         if mesh is not None:
@@ -281,6 +387,8 @@ def optimize_level(
             bparams_s = level_spmd.begin(bparams)
 
     for itr in range(cfg.iterations):
+        if itr == 0:
+            t0 = time.perf_counter()
         lambda_r = compute_varying_lambda(itr, cfg.iterations, cfg.lambda_r0, cfg.lambda_r1)
         lambda_s = compute_varying_lambda(itr, cfg.iterations, cfg.lambda_s0, cfg.lambda_s1)
 
@@ -291,7 +399,7 @@ def optimize_level(
                 mu,
             )
         elif use_blocks:
-            basm, bmasks = device_assembly(
+            bparams, cost0, cost1, mu, tries = _fused_outer_step(
                 st,
                 sdf_plan,
                 alb_plan,
@@ -304,6 +412,8 @@ def optimize_level(
                 jnp.float32(thres_shell),
                 jnp.float32(cfg.occlusion_distance),
                 jnp.asarray([cfg.lambda_g, lambda_r, lambda_s, cfg.lambda_a], jnp.float32),
+                mu,
+                bmap,
                 num_obs=cfg.num_observations,
                 width=w,
                 height=h,
@@ -311,10 +421,8 @@ def optimize_level(
                 fix_intrinsics=cfg.fix_intrinsics,
                 fix_distortion=cfg.fix_distortion,
                 use_albedo=cfg.lambda_a >= 0.0,
-                bmap=bmap,
-            )
-            bparams, cost0, cost1, mu, tries = gn_iteration(
-                bparams, basm, bmasks, mu, cfg.lm_steps, cg_iters
+                lm_steps=cfg.lm_steps,
+                cg_iters=cg_iters,
             )
         else:
             intr = np.asarray(params.intr)
@@ -359,6 +467,13 @@ def optimize_level(
         stats.costs_after.append(cost1)
         stats.tries.append(tries)
         stats.mus.append(mu)
+        if itr == 0:
+            # the first call blocks on trace + compile-cache load + remote
+            # program upload; later iterations dispatch asynchronously
+            log.info(
+                "   first-iteration dispatch (trace/compile/load): %.1fs",
+                time.perf_counter() - t0,
+            )
         if itr > 0:
             _log_iter(stats, itr - 1)
 

@@ -244,6 +244,31 @@ def test_thin_shell_keeps_surface_and_support():
     assert -6 not in xs
 
 
+def test_thin_shell_device_path_matches_host():
+    """The block-structured device evaluation of the thin-shell keep
+    predicate (used automatically for large grids) selects EXACTLY the same
+    voxel set as the host neighbor-table path — on an irregular shell with
+    invalid voxels, sign changes, and block-boundary-straddling support."""
+    rng = np.random.default_rng(11)
+    r = np.arange(-10, 11)
+    X, Y, Z = np.meshgrid(r, r, r, indexing="ij")
+    coords = np.stack([X, Y, Z], -1).reshape(-1, 3)
+    d = np.linalg.norm(coords, axis=1) - 7.0
+    sel = np.abs(d) < 3.5
+    coords = coords[sel]
+    g = make_grid(coords.tolist(), voxel_size=0.01, sbr=True)
+    g.weight[:] = (rng.random(g.num_voxels) > 0.1).astype(np.float32)
+    g.sdf_refined[:] = (np.linalg.norm(g.coords, axis=1) - 7.0) * 0.01 + rng.normal(
+        0, 0.002, g.num_voxels
+    )
+    g.sdf[:] = g.sdf_refined
+
+    host = alg.clear_voxels_outside_thin_shell(g, 0.015, use_device=False)
+    dev = alg.clear_voxels_outside_thin_shell(g, 0.015, use_device=True)
+    key = lambda c: (c[:, 0].astype(np.int64) << 42) + (c[:, 1].astype(np.int64) << 21) + c[:, 2]
+    np.testing.assert_array_equal(np.sort(key(host.coords)), np.sort(key(dev.coords)))
+
+
 def test_upsample_constant_field():
     coords = [[x, y, z] for x in range(3) for y in range(3) for z in range(3)]
     g = make_grid(coords, voxel_size=0.02, sbr=True)
