@@ -16,8 +16,17 @@ from intrinsic3d_tpu.apps.common import ensure_parent, load_sensor, make_parser,
 from intrinsic3d_tpu.config import FusionConfig, Settings
 from intrinsic3d_tpu.grid import algorithms as alg
 from intrinsic3d_tpu.grid.fusion import FusionVolume, compute_scene_voxel_bounds
-from intrinsic3d_tpu.image.processing import compute_normals, erode_discontinuities
+from intrinsic3d_tpu.image.processing import erode_discontinuities
 from intrinsic3d_tpu.io.ply import save_ply
+
+import functools
+
+import jax
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def _erode_batch(depths, window):
+    return jax.vmap(lambda d: erode_discontinuities(d, window))(depths)
 from intrinsic3d_tpu.keyframes import KeyframeSelection
 from intrinsic3d_tpu.mesh import extract_surface
 
@@ -50,24 +59,41 @@ def run(sensor, cfg: FusionConfig):
         clip_bounds=clip,
     )
 
-    log.info("allocation pass over %d frames ...", len(frame_ids))
-    eroded = {}
-    for i in frame_ids:
-        d = sensor.depth(i)
+    # frames stream through in fixed-size STACKS: erosion is one vmapped
+    # program per chunk, allocation/integration one scanned program each —
+    # the per-frame path pays a dispatch round trip (and the first call a
+    # program load) per frame on a remote link. The ragged tail is padded
+    # with zero-depth frames (exact no-ops through the d > 0 gates).
+    chunk = 10
+    n = len(frame_ids)
+    log.info("allocation pass over %d frames ...", n)
+    eroded_chunks = []  # device-resident [chunk, H, W] stacks, reused below
+    pose_chunks = []
+    for beg in range(0, n, chunk):
+        ids = frame_ids[beg : beg + chunk]
+        d_np = np.stack([np.asarray(sensor.depth(i), np.float32) for i in ids])
+        poses = np.stack([sensor.pose(i) for i in ids])
+        if len(ids) < chunk and n > chunk:
+            pad = chunk - len(ids)
+            d_np = np.concatenate([d_np, np.zeros((pad,) + d_np.shape[1:], d_np.dtype)])
+            poses = np.concatenate([poses, np.tile(np.eye(4)[None], (pad, 1, 1))])
+        d = jnp.asarray(d_np)
         if cfg.discont_window_size > 0:
-            d = np.asarray(erode_discontinuities(jnp.asarray(d), cfg.discont_window_size))
-        eroded[i] = d
-        vol.allocate(d, sensor.pose(i))
+            d = _erode_batch(d, cfg.discont_window_size)
+        eroded_chunks.append(d)
+        pose_chunks.append(poses)
+        vol.allocate_batch(d, poses)
     grid = vol.build_grid()
     log.info("allocated %d voxels (dims %s)", grid.num_voxels, vol.dims)
 
     log.info("integration pass ...")
-    for k, i in enumerate(frame_ids):
-        d = eroded[i]
-        normals = np.asarray(compute_normals(sensor.depth_cam, jnp.asarray(d)))
-        vol.integrate(d, normals, sensor.color(i), sensor.pose(i))
-        if (k + 1) % 50 == 0:
-            log.info("   integrated %d/%d frames", k + 1, len(frame_ids))
+    for beg, d, poses in zip(range(0, n, chunk), eroded_chunks, pose_chunks):
+        ids = frame_ids[beg : beg + chunk]
+        c_np = np.stack([np.asarray(sensor.color(i), np.float32) for i in ids])
+        if len(ids) < poses.shape[0]:
+            pad = poses.shape[0] - len(ids)
+            c_np = np.concatenate([c_np, np.zeros((pad,) + c_np.shape[1:], c_np.dtype)])
+        vol.integrate_batch(d, c_np, poses)
     grid = vol.finalize()
 
     log.info("correct SDF ...")

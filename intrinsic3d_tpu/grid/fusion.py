@@ -223,6 +223,47 @@ class FusionVolume:
             self.num_steps,
         )
 
+    def allocate_batch(self, depths, poses: np.ndarray) -> None:
+        """Allocation pass over a STACK of frames (`[G, H, W]` depths,
+        `[G, 4, 4]` camera-to-world poses) as one jitted scan — one program
+        and one transfer instead of G dispatches (the per-frame path costs a
+        round trip each on a remote link). `depths` may be a device array
+        (e.g. the eroded stack reused by `integrate_batch`)."""
+        T = np.asarray(poses, np.float64)
+        self._occ = _alloc_frames(
+            self._occ,
+            jnp.asarray(depths, jnp.float32),
+            self._rays,
+            jnp.asarray(T[:, :3, :3], jnp.float32),
+            jnp.asarray(T[:, :3, 3], jnp.float32),
+            jnp.asarray(self.vlo, jnp.int32),
+            jnp.asarray(self.clip),
+            self.voxel_size,
+            self.truncation,
+            self.dims,
+            self.num_steps,
+        )
+
+    def integrate_batch(self, depths, colors, poses: np.ndarray) -> None:
+        """Integration pass over a STACK of frames; surface normals are
+        computed inside the same program (no per-frame eager dispatches).
+        Zero-depth padding frames contribute nothing (the `d > 0` gate)."""
+        Tinv = np.linalg.inv(np.asarray(poses, np.float64))
+        self._acc = _integrate_frames(
+            self._acc,
+            self._world_pts,
+            jnp.asarray(depths, jnp.float32),
+            jnp.asarray(colors, jnp.float32),
+            jnp.asarray(Tinv[:, :3, :3], jnp.float32),
+            jnp.asarray(Tinv[:, :3, 3], jnp.float32),
+            self.depth_cam,
+            self.color_cam,
+            self.truncation,
+            self.weight_sample,
+            self.depth_min,
+            self.depth_max,
+        )
+
     def build_grid(self) -> VoxelGrid:
         occ = np.asarray(self._occ[:-1]).reshape(self.dims)
         occ = np.asarray(_dilate27(jnp.asarray(occ)))
@@ -281,6 +322,65 @@ class FusionVolume:
             cseen[:, None], wc / np.maximum(cw, 1e-12)[:, None], 0.0
         ).astype(np.float32)
         return g
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "num_steps"), donate_argnums=(0,))
+def _alloc_frames(
+    occupancy,
+    depths,  # [G, H, W]
+    rays,
+    rots,  # [G, 3, 3]
+    transs,  # [G, 3]
+    lo,
+    clip,
+    voxel_size: float,
+    truncation: float,
+    dims,
+    num_steps: int,
+):
+    """`_alloc_frame` scanned over a frame stack (one compiled program)."""
+
+    def body(occ, x):
+        d, rot, t = x
+        occ = _alloc_frame.__wrapped__(
+            occ, d, rays, rot, t, lo, clip, voxel_size, truncation, dims, num_steps
+        )
+        return occ, None
+
+    occ, _ = jax.lax.scan(body, occupancy, (depths, rots, transs))
+    return occ
+
+
+@functools.partial(jax.jit, static_argnames=(), donate_argnums=(0,))
+def _integrate_frames(
+    acc,
+    world_pts,
+    depths,  # [G, H, W]
+    colors,  # [G, Hc, Wc, 3]
+    rots_w2c,  # [G, 3, 3]
+    ts_w2c,  # [G, 3]
+    depth_cam: Camera,
+    color_cam: Camera,
+    truncation: float,
+    weight_sample: float,
+    depth_min: float,
+    depth_max: float,
+):
+    """`_integrate_frame` scanned over a frame stack, with the cross-product
+    surface normals (``processing.cpp:74-126``) computed in-body."""
+    from intrinsic3d_tpu.image.processing import compute_normals
+
+    def body(acc, x):
+        d, c, rot, t = x
+        n = compute_normals(depth_cam, d)
+        acc = _integrate_frame.__wrapped__(
+            acc, world_pts, d, n, c, rot, t, depth_cam, color_cam,
+            truncation, weight_sample, depth_min, depth_max,
+        )
+        return acc, None
+
+    acc, _ = jax.lax.scan(body, acc, (depths, colors, rots_w2c, ts_w2c))
+    return acc
 
 
 @functools.partial(jax.jit, static_argnames=(), donate_argnums=(0,))

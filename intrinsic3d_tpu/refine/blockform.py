@@ -41,6 +41,7 @@ path (kept as the equivalence oracle).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -667,14 +668,24 @@ def build_frame_buckets(
 # ---------------------------------------------------------------------------
 
 
-def table_to_dense(layout: BlockLayout, table, pad: bool = True):
-    """[N] table field → flat `[nb(+1), B³]` dense blocks (empties 0)."""
-    s = layout.block**3
-    nb = layout.num_blocks
-    out = jnp.zeros(nb * s, jnp.asarray(table).dtype)
-    out = out.at[jnp.asarray(layout.vox_slot)].set(jnp.asarray(table))
-    out = out.reshape(nb, s)
+@functools.partial(jax.jit, static_argnames=("nb", "s", "pad"))
+def _table_to_dense_jit(vox_slot, tab, nb, s, pad):
+    out = jnp.zeros(nb * s, tab.dtype).at[vox_slot].set(tab).reshape(nb, s)
     return pad_flat(out) if pad else out
+
+
+def table_to_dense(layout: BlockLayout, table, pad: bool = True):
+    """[N] table field → flat `[nb(+1), B³]` dense blocks (empties 0).
+
+    One jitted program (scatter + reshape + pad) — the previous eager ops
+    each paid a dispatch/program load on a remote link."""
+    return _table_to_dense_jit(
+        jnp.asarray(layout.vox_slot),
+        jnp.asarray(table),
+        nb=layout.num_blocks,
+        s=layout.block**3,
+        pad=pad,
+    )
 
 
 def dense_to_table(layout: BlockLayout, dense) -> jnp.ndarray:

@@ -99,13 +99,28 @@ def build_level_static(
         ea_chroma[dd, slots_i[fwd]] = cw[fwd]
         ea_chroma[dd, slots_j[bwd]] = cw[bwd]
 
+    # one jitted staging program: the previous per-field eager pad/transfer
+    # ops each paid a dispatch (and a first-call program load) on a remote
+    # link — a measurable slice of the per-level setup at production scale
+    return _stage_static(
+        occ.reshape(nb, s),
+        valid.reshape(nb, s),
+        vpos,
+        densify(grid.sdf).reshape(nb, s),
+        eg_sh,
+        ea_chroma.reshape(3, nb, s),
+    )
+
+
+@jax.jit
+def _stage_static(occ, valid, vpos, es_ref, eg_sh, ea_chroma) -> LevelStatic:
     return LevelStatic(
-        occ=pad_flat(jnp.asarray(occ.reshape(nb, s))),
-        valid=pad_flat(jnp.asarray(valid.reshape(nb, s))),
-        vpos=jnp.asarray(vpos),
-        es_ref=jnp.asarray(densify(grid.sdf).reshape(nb, s)),
-        eg_sh=jnp.asarray(eg_sh),
-        ea_chroma=jnp.asarray(ea_chroma.reshape(3, nb, s)),
+        occ=pad_flat(occ),
+        valid=pad_flat(valid),
+        vpos=vpos,
+        es_ref=es_ref,
+        eg_sh=eg_sh,
+        ea_chroma=ea_chroma,
     )
 
 

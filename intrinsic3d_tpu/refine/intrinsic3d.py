@@ -13,10 +13,12 @@ level.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 import time
 from typing import Callable, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -39,6 +41,35 @@ from intrinsic3d_tpu.refine.optimizer import optimize_level
 from intrinsic3d_tpu.refine.residuals import Params
 
 log = logging.getLogger("intrinsic3d")
+
+
+@functools.partial(jax.jit, static_argnames=("num_best", "width", "height"))
+def _recolor_sweep(
+    sdf,
+    nbr4,
+    validm,
+    pts,
+    poses,
+    intr,
+    dist,
+    depths,
+    colors0,
+    occlusion,
+    *,
+    num_best,
+    width,
+    height,
+):
+    normals, _ = gops.surface_normals(sdf, nbr4, validm)
+    iso = gops.voxel_center_to_iso(pts, normals, sdf)
+    cam = Camera(
+        fx=intr[0], fy=intr[1], cx=intr[2], cy=intr[3],
+        width=width, height=height, dist=dist,
+    )
+    w, f = collect_observations(
+        cam, poses, depths, iso, normals, occlusion, num_best=num_best
+    )
+    return recolor(cam, poses, depths, colors0, iso, normals, w, f, occlusion)
 
 
 @dataclasses.dataclass
@@ -134,39 +165,27 @@ class Intrinsic3D:
 
     # ------------------------------------------------------------------
 
-    def _current_cam(self, params: Params) -> Camera:
-        intr = np.asarray(params.intr)
-        return Camera.create(
-            intr[0],
-            intr[1],
-            intr[2],
-            intr[3],
-            self.sensor.color_cam.width,
-            self.sensor.color_cam.height,
-            dist=params.dist,
-        )
-
     def recompute_colors(self, grid: VoxelGrid, params: Params) -> None:
-        """Full observation resweep recoloring (``intrinsic3d.cpp:381-409``)."""
+        """Full observation resweep recoloring (``intrinsic3d.cpp:381-409``)
+        as ONE jitted program per level shape (normals → iso-projection →
+        observation collection → weighted recolor): the staged eager calls
+        cost dozens of dispatches/program loads per sweep on a remote link."""
         nbr4 = grid.neighbor_table(NORMAL_OFFSETS)
-        normals, _ = gops.surface_normals(
-            params.sdf, jnp.asarray(nbr4), jnp.asarray(grid.valid_mask())
-        )
-        pts = jnp.asarray(grid.voxel_to_world())
-        iso = gops.voxel_center_to_iso(pts, normals, params.sdf)
-        cam = self._current_cam(params)
-        w, f = collect_observations(
-            cam,
+        cam = self.sensor.color_cam
+        cols, has = _recolor_sweep(
+            params.sdf,
+            jnp.asarray(nbr4),
+            jnp.asarray(grid.valid_mask()),
+            jnp.asarray(grid.voxel_to_world()),
             params.poses,
+            params.intr,
+            params.dist,
             self.depths_lvl[0],
-            iso,
-            normals,
-            self.cfg.occlusion_distance,
+            self.colors0,
+            jnp.float32(self.cfg.occlusion_distance),
             num_best=self.cfg.num_observations,
-        )
-        cols, has = recolor(
-            cam, params.poses, self.depths_lvl[0], self.colors0, iso, normals, w, f,
-            self.cfg.occlusion_distance,
+            width=cam.width,
+            height=cam.height,
         )
         cols = np.asarray(cols)
         has = np.asarray(has)

@@ -311,7 +311,11 @@ def optimize_level(
     if use_blocks:
         t0 = time.perf_counter()
         layout = BlockLayout.build(
-            grid, blocks_multiple=max(8, mesh.devices.size) if mesh is not None else 8
+            grid,
+            blocks_multiple=max(8, mesh.devices.size) if mesh is not None else 8,
+            # the solver touches stencils only through ShiftPlan (nbr27);
+            # the per-cell halo gather table costs nb·W³ host lookups
+            halo_table=False,
         )
         st = build_level_static(layout, grid, topo, voxel_sh)
         sdf_plan, alb_plan = layout_plans(layout)
