@@ -321,16 +321,71 @@ def interpolate_fields(grid: VoxelGrid, positions: np.ndarray):
     return out
 
 
+# Per-(child, corner) trilinear weights for the 2× upsample. Child c sits at
+# parent + offs_c/2, so frac ∈ {0, 0.5} per axis and the 8-corner cell is the
+# SAME parent + {0,1}³ set for every child of a parent — weights collapse to a
+# fixed [8, 8] table (values 0.5^popcount(offs_c), binary-exact, so results
+# are bitwise-identical to the general `interpolate_fields` path).
+_UP_W8 = np.where(
+    _CORNER_OFFS[None, :, :] == 1,
+    (_CORNER_OFFS[:, None, :] * 0.5).astype(np.float32),
+    (1.0 - _CORNER_OFFS[:, None, :] * 0.5).astype(np.float32),
+).prod(axis=-1)  # [child c, corner k]
+
+
+def _upsample_fields(grid: VoxelGrid) -> dict:
+    """Field resampling for `upsample` using the shared-corner structure:
+    ONE 8-neighbor lookup per parent (vs one per child — 8× fewer sorted-key
+    searches, the dominant cost at pipeline scale) + the fixed `_UP_W8`
+    weight table. Summation order over corners matches `interpolate_fields`.
+    """
+    parent = grid.coords.astype(np.int64)
+    idx = grid.lookup(parent[:, None, :] + _CORNER_OFFS[None, :, :])  # [N, 8]
+    valid = (idx >= 0) & (grid.weight[np.maximum(idx, 0)] > 0.0)
+    w = np.where(valid[:, None, :], _UP_W8[None, :, :], 0.0)  # [N, c, k]
+    cnt = valid.sum(axis=-1)  # same for all 8 children of a parent
+    wsum = w.sum(axis=-1)  # [N, c]
+    wsafe = np.where(wsum > 0.0, wsum, 1.0)
+
+    def avg(field):
+        # Weighted corner sum accumulated in the SAME reduction order numpy
+        # uses in `interpolate_fields`, so results stay bitwise-equal without
+        # materializing [N, 8, 8(,3)] products: last-axis scalar reduces use
+        # the pairwise tree ((0+1)+(2+3))+((4+5)+(6+7)); the vector (color)
+        # reduce over the non-contiguous middle axis is sequential.
+        vals = field[np.maximum(idx, 0)]  # [N, 8] or [N, 8, 3]
+        if vals.ndim == 3:
+            s = vals[:, None, 0, :] * w[:, :, 0, None]
+            for k in range(1, 8):
+                s = s + vals[:, None, k, :] * w[:, :, k, None]
+            return (s / wsafe[..., None]).reshape(-1, 3)
+        def term(k):
+            return vals[:, None, k] * w[:, :, k]
+        pair = [term(2 * i) + term(2 * i + 1) for i in range(4)]
+        s = (pair[0] + pair[1]) + (pair[2] + pair[3])
+        return (s / wsafe).reshape(-1)
+
+    out = {
+        "sdf": avg(grid.sdf.astype(np.float32)),
+        "color": avg(grid.color),
+        "weight": np.maximum(
+            np.where((cnt > 4)[:, None], avg(grid.weight).reshape(len(parent), 8), 0.0), 0.0
+        ).reshape(-1),
+    }
+    if grid.is_sbr:
+        out["albedo"] = avg(grid.albedo)
+        out["sdf_refined"] = avg(grid.sdf_refined)
+    return out
+
+
 def upsample(grid: VoxelGrid) -> VoxelGrid:
     """2× refinement: each voxel spawns 8 children at half voxel size, fields
     trilinearly resampled from the parent grid (``algorithms.cpp:202-237``)."""
     parent = grid.coords.astype(np.int64)
     child_coords = (2 * parent)[:, None, :] + _CORNER_OFFS[None, :, :]
-    child_pos = parent[:, None, :] + _CORNER_OFFS[None, :, :] * 0.5
     child_coords = child_coords.reshape(-1, 3)
-    child_pos = child_pos.reshape(-1, 3)
 
-    fields = interpolate_fields(grid, child_pos)
+    fields = _upsample_fields(grid)
     up = VoxelGrid.from_coords(
         grid.voxel_size * 0.5,
         child_coords,

@@ -287,6 +287,33 @@ def test_upsample_constant_field():
     np.testing.assert_allclose(up.albedo[interior], 0.7, rtol=1e-5)
 
 
+def test_upsample_matches_general_interpolation_bitwise():
+    # `upsample` uses the shared-corner fast path (_upsample_fields: one
+    # 8-neighbor lookup per parent + fixed [8,8] weight table); it must stay
+    # BITWISE-equal to the general `interpolate_fields` at the child
+    # positions, including invalid-corner renormalization and the cnt>4
+    # weight gate.
+    rng = np.random.default_rng(7)
+    coords = np.unique(rng.integers(-5, 5, size=(300, 3)).astype(np.int32), axis=0)
+    g = make_grid(coords.tolist(), voxel_size=0.01, sbr=True)
+    n = g.num_voxels
+    g.sdf = rng.normal(size=n).astype(np.float32)
+    g.weight = np.where(
+        rng.random(n) < 0.75, rng.random(n).astype(np.float32) * 5, 0.0
+    ).astype(np.float32)
+    g.color = rng.random((n, 3)).astype(np.float32)
+    g.albedo = rng.random(n).astype(np.float32)
+    g.sdf_refined = rng.normal(size=n).astype(np.float32)
+
+    parent = g.coords.astype(np.int64)
+    child_pos = (parent[:, None, :] + alg._CORNER_OFFS[None, :, :] * 0.5).reshape(-1, 3)
+    ref = alg.interpolate_fields(g, child_pos)
+    ref["weight"] = np.maximum(ref["weight"], 0.0)
+    fast = alg._upsample_fields(g)
+    for key in fast:
+        np.testing.assert_array_equal(fast[key], ref[key], err_msg=key)
+
+
 def test_upsample_linear_sdf():
     coords = [[x, y, z] for x in range(4) for y in range(4) for z in range(4)]
     g = make_grid(coords, voxel_size=0.02)
