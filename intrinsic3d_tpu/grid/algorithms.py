@@ -353,6 +353,12 @@ def _upsample_fields(grid: VoxelGrid) -> dict:
         # materializing [N, 8, 8(,3)] products: last-axis scalar reduces use
         # the pairwise tree ((0+1)+(2+3))+((4+5)+(6+7)); the vector (color)
         # reduce over the non-contiguous middle axis is sequential.
+        # CAVEAT: that reduction order is numpy-internal and undocumented
+        # (observed stable through numpy 1.x/2.x). If a future numpy changes
+        # it, tests/test_grid.py::test_upsample_matches_general_interpolation_bitwise
+        # fails even though both results stay numerically valid — the fix is
+        # to update this accumulation tree to match the new order (or relax
+        # the parity test to a tight allclose and regenerate the goldens).
         vals = field[np.maximum(idx, 0)]  # [N, 8] or [N, 8, 3]
         if vals.ndim == 3:
             s = vals[:, None, 0, :] * w[:, :, 0, None]

@@ -50,6 +50,18 @@ _EG_DENSE_HBM_BUDGET_FALLBACK = 11e9
 _EG_HBM_HEADROOM = 4.75e9
 
 
+_HBM_FALLBACK_WARNED = False
+
+
+def _warn_hbm_fallback(msg: str, *args) -> None:
+    """Warn once per process — the budget is re-queried every level, but the
+    mis-calibration story doesn't change between calls."""
+    global _HBM_FALLBACK_WARNED
+    if not _HBM_FALLBACK_WARNED:
+        _HBM_FALLBACK_WARNED = True
+        log.warning(msg, *args)
+
+
 def eg_hbm_budget() -> float:
     """HBM budget for the dense E_g element fields, from the attached
     device's reported memory (fallback: the measured v5e figure). Capped at
@@ -59,9 +71,21 @@ def eg_hbm_budget() -> float:
 
         stats = jax.devices()[0].memory_stats() or {}
         total = float(stats.get("bytes_limit", 0.0) or 0.0)
-    except Exception:
-        total = 0.0
+    except Exception as exc:  # noqa: BLE001 - any backend failure → fallback
+        _warn_hbm_fallback(
+            "eg_hbm_budget: device memory query failed (%r); falling back to "
+            "the v5e constant %.1f GB — the dense/bucketed E_g crossover may "
+            "be mis-calibrated on this backend",
+            exc,
+            _EG_DENSE_HBM_BUDGET_FALLBACK / 1e9,
+        )
+        return _EG_DENSE_HBM_BUDGET_FALLBACK
     if total <= 0.0:
+        _warn_hbm_fallback(
+            "eg_hbm_budget: backend reports no 'bytes_limit' in "
+            "memory_stats(); using the v5e fallback budget %.1f GB",
+            _EG_DENSE_HBM_BUDGET_FALLBACK / 1e9,
+        )
         return _EG_DENSE_HBM_BUDGET_FALLBACK
     return min(total - _EG_HBM_HEADROOM, 0.7 * total)
 

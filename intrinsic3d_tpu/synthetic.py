@@ -62,17 +62,34 @@ def look_at_pose(eye, target, up=(0.0, -1.0, 0.0)) -> np.ndarray:
     return T
 
 
+def _pixel_ray_dirs(cam: Camera, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """Camera-frame ray directions through pixel centers, honoring the
+    camera's 5-coefficient distortion: the normalized pixel coordinates are
+    the DISTORTED coords, so nonzero `cam.dist` requires inverting
+    ``camera.distort`` (fixed-point iteration, the standard OpenCV
+    `undistortPoints` scheme — converges fast for physical coefficients).
+    With zero distortion this is the plain pinhole ray."""
+    x = (xs - float(cam.cx)) / float(cam.fx)
+    y = (ys - float(cam.cy)) / float(cam.fy)
+    d = np.asarray(cam.dist, np.float64)
+    if np.any(d != 0.0):
+        k1, k2, k3, p1, p2 = d  # reference layout (camera.py::distort)
+        xd, yd = x, y
+        x, y = xd.copy(), yd.copy()
+        for _ in range(12):
+            r2 = x * x + y * y
+            radial = 1.0 + k1 * r2 + k2 * r2 * r2 + k3 * r2 * r2 * r2
+            dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+            dy = 2.0 * p2 * x * y + p1 * (r2 + 2.0 * y * y)
+            x = (xd - dx) / radial
+            y = (yd - dy) / radial
+    return np.stack([x, y, np.ones_like(x)], axis=-1)
+
+
 def render_sphere_depth(cam: Camera, pose_cam_to_world, center, radius) -> np.ndarray:
     h, w = cam.height, cam.width
     ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
-    dirs = np.stack(
-        [
-            (xs - float(cam.cx)) / float(cam.fx),
-            (ys - float(cam.cy)) / float(cam.fy),
-            np.ones_like(xs),
-        ],
-        axis=-1,
-    )
+    dirs = _pixel_ray_dirs(cam, xs, ys)
     T = invert_pose(pose_cam_to_world)
     c = T[:3, :3] @ np.asarray(center, np.float64) + T[:3, 3]
     a = np.sum(dirs * dirs, axis=-1)
@@ -100,14 +117,7 @@ def render_shading_image(
     depth = render_sphere_depth(cam, pose_c2w, center, radius)
     h, w = depth.shape
     ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
-    dirs = np.stack(
-        [
-            (xs - float(cam.cx)) / float(cam.fx),
-            (ys - float(cam.cy)) / float(cam.fy),
-            np.ones_like(xs),
-        ],
-        axis=-1,
-    )
+    dirs = _pixel_ray_dirs(cam, xs, ys)
     T = np.asarray(pose_c2w)
     pts_w = (dirs * depth[..., None]) @ T[:3, :3].T + T[:3, 3]
     n = (pts_w - center) / radius
@@ -165,21 +175,31 @@ def build_sphere_problem(
     seed: int = 0,
     perturb_sdf: float = 0.0,
     perturb_albedo: float = 0.0,
+    dist=None,
+    eyes=None,
 ) -> SphereProblem:
     """Build a shell grid around an analytic sphere, render consistent shading
-    images from orbiting cameras, and package the refinement problem."""
+    images from orbiting cameras, and package the refinement problem.
+
+    `dist` (5-vector, reference layout k1 k2 k3 p1 p2) renders the capture
+    through a distorted lens and sets `params.dist` to the true coefficients —
+    the end-to-end distortion-recovery scenario (``camera.h:92-126``)."""
     cfg = cfg or RefinementConfig(
         num_observations=num_observations, occlusion_distance=0.02
     )
     w, h = image_size
-    cam = Camera.create(1.1 * w, 1.1 * w, w / 2 - 0.5, h / 2 - 0.5, w, h)
+    cam = Camera.create(1.1 * w, 1.1 * w, w / 2 - 0.5, h / 2 - 0.5, w, h, dist=dist)
     rng = np.random.default_rng(seed)
-    eyes = [[0.0, 0.0, 0.0]]
-    for i in range(1, num_frames):
-        ang = 2.0 * np.pi * i / max(num_frames, 2)
-        eyes.append(
-            [0.45 * np.sin(ang), 0.2 * np.sin(2 * ang), 0.6 - 0.45 * np.cos(ang)]
-        )
+    if eyes is None:
+        eyes = [[0.0, 0.0, 0.0]]
+        for i in range(1, num_frames):
+            ang = 2.0 * np.pi * i / max(num_frames, 2)
+            eyes.append(
+                [0.45 * np.sin(ang), 0.2 * np.sin(2 * ang), 0.6 - 0.45 * np.cos(ang)]
+            )
+    else:
+        eyes = [list(e) for e in eyes]
+        assert len(eyes) == num_frames
     poses_c2w = [look_at_pose(e, center) for e in eyes]
     imgs, depths = [], []
     for T in poses_c2w:
@@ -224,7 +244,7 @@ def build_sphere_problem(
         intr=jnp.asarray(
             [float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy)], jnp.float32
         ),
-        dist=jnp.zeros(5, jnp.float32),
+        dist=jnp.asarray(np.asarray(cam.dist, np.float32)),
     )
     return SphereProblem(
         cfg=cfg,

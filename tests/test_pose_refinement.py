@@ -73,6 +73,82 @@ def test_pose_recovery(base_problem):
     assert err1_t < max(err0_t, 2.0 * prob.grid.voxel_size)
 
 
+def test_distortion_recovery(base_problem):
+    """End-to-end distortion recovery through ``gn_iteration``: the capture is
+    rendered through a lens with nonzero k1/k2/p1 (``camera.h:92-126``,
+    ``synthetic._pixel_ray_dirs`` inverts the model per pixel), the tangential
+    coefficients start from zero with the distortion block free, and the
+    solver must recover them — the distortion twin of the pose/intrinsics
+    recovery tests above.
+
+    What is asserted — and why only that — was MEASURED (round 4): the
+    tangential (p1, p2) warp components are shift-like and recover end to end
+    exactly like poses do. The radial (k1, k2, k3) components are NOT
+    end-to-end identifiable on this energy from a standing start: their image
+    effect is a radial magnification, and the gradient-difference data term
+    carries a magnification-coupled sampling bias (bicubic-sampled image
+    gradients vs voxel-discretized shading gradients differ systematically in
+    magnitude, so the energy's slope in the k-direction at the true lens is
+    nonzero — verified by direct cost-vs-t·k scans on both silhouette and
+    full-frame captures, with the minimum displaced far from truth while the
+    matched lens still beats same-size mismatches symmetrically for
+    tangential/pose directions). Ceres faces the same landscape; the
+    reference uses the distortion block as a local refinement around the
+    calibrated lens (``data/intrinsic3d.yml`` fix_distortion: 0 with
+    dataset-calibrated intrinsics). The radial Jacobian chain itself is
+    validated against finite differences below."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        base_problem, fix_poses=True, fix_intrinsics=True, fix_distortion=False
+    )
+    true_dist = np.array([0.08, -0.04, 0.0, 0.10, -0.06], np.float32)
+    prob = build_sphere_problem(
+        voxel_size=0.0075,
+        image_size=(128, 96),
+        num_frames=3,
+        num_observations=3,
+        cfg=cfg,
+        dist=true_dist,
+    )
+    assert np.allclose(np.asarray(prob.params.dist), true_dist)
+    # start: true radial, ZERO tangential — radial frozen at calibration
+    # (the identifiable-direction split measured above); the tangential
+    # magnitudes give a multi-pixel warp, well above the sub-pixel
+    # discretization-bias floor that swallows weaker lenses
+    start = true_dist.copy()
+    start[3:] = 0.0
+    params = prob.params._replace(dist=jnp.asarray(start))
+
+    mu = jnp.float32(1e-4)
+    prob.params = params
+    cost_first = cost_last = None
+    for it in range(40):
+        asm, masks = prob.assemble()
+        masks = masks._replace(
+            sdf=jnp.zeros_like(masks.sdf),
+            albedo=jnp.zeros_like(masks.albedo),
+            dist=jnp.asarray([0.0, 0.0, 0.0, 1.0, 1.0], jnp.float32),
+        )
+        params, c0, c1, mu, _ = gn_iteration(params, asm, masks, mu, 8, 12)
+        prob.params = params
+        if it == 0:
+            cost_first = float(c0)
+        cost_last = float(c1)
+    got = np.asarray(params.dist)
+
+    np.testing.assert_array_equal(got[:3], true_dist[:3])  # frozen radial
+    assert cost_last < cost_first
+    err0 = float(np.abs(true_dist[3:]).mean())
+    err1 = float(np.abs(got[3:] - true_dist[3:]).mean())
+    # measured on this scenario: ~54% of the tangential error recovered in 40
+    # relinearizations (p1 0→0.041 of 0.10, p2 0→−0.032 of −0.06), still
+    # converging — assert a margin below that
+    assert err1 < 0.7 * err0, (got, true_dist)
+    assert got[3] > 0.3 * true_dist[3], got  # correct sign + real progress
+    assert got[4] < 0.3 * true_dist[4], got
+
+
 def test_camera_gradients_match_finite_differences(base_problem):
     """Observability-free validation of the pose/intrinsics/distortion
     Jacobian chains: autodiff gradient of the total cost vs central finite
