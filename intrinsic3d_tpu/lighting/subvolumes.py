@@ -66,6 +66,20 @@ class Subvolumes:
         ok = dst >= 0
         return np.stack([src[ok], dst[ok]], axis=-1).astype(np.int32)
 
+    def cell_lookup(self, pad: int = 1):
+        """Dense int32 lookup volume over the occupied-cell bounding box
+        (+`pad` margin): `table[i - origin] = subvolume id`, −1 for empty
+        cells — the device-side twin of `_find` for jitted trilinear corner
+        queries (parallel/spmd_stages.py). Subvolume grids are tiny (cells
+        are `size` ≈ 0.2 m wide), so the dense box is a few KB."""
+        lo = self.indices.min(axis=0) - pad
+        hi = self.indices.max(axis=0) + pad
+        dims = hi - lo + 1
+        tab = np.full(tuple(dims), -1, np.int32)
+        idx = self.indices - lo
+        tab[idx[:, 0], idx[:, 1], idx[:, 2]] = np.arange(self.count, dtype=np.int32)
+        return tab, lo.astype(np.int64)
+
     def interpolation(self, pts: np.ndarray):
         """Trilinear interpolation stencil at points `[M, 3]`: returns
         (ids [M, 8] int32 with −1 absent, weights [M, 8] normalized)

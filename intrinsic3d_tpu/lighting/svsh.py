@@ -61,12 +61,21 @@ def _assemble_and_solve(
     b = jax.ops.segment_sum(
         aH * (data_w * lum)[:, None], subvol, num_segments=S
     )  # [S, 9]
+    return solve_block_system(A_blocks, b, pairs, S, lambda_reg)
 
+
+def solve_block_system(A_blocks, b, pairs, num_subvolumes, lambda_reg):
+    """PCG solve of (data blocks + graph Laplacian ⊗ I₉) x = b — the solver
+    half of `_assemble_and_solve`, shared verbatim by the single-device path
+    and the SPMD path (parallel/spmd_stages.py assembles `A_blocks`/`b` as
+    psum'd per-device partial segment sums, then every device runs this same
+    deterministic replicated solve)."""
+    S = num_subvolumes
     # graph-Laplacian regularizer over directed pairs, weight λ/P per residual
     P = pairs.shape[0]
     reg_w = jnp.where(P > 0, lambda_reg / jnp.maximum(P, 1), 0.0)
     i, j = pairs[:, 0], pairs[:, 1]
-    ones = jnp.ones(P, dtype=H.dtype)
+    ones = jnp.ones(P, dtype=b.dtype)
     deg = jax.ops.segment_sum(ones, i, num_segments=S) + jax.ops.segment_sum(
         ones, j, num_segments=S
     )  # [S]

@@ -176,6 +176,7 @@ def compute_observations_batch(
     normals,  # [D, 3] or [K, E, 3], matching iso_pts
     occlusion_distance: float,
     active=None,  # [K, D] float, 0 ⇒ weight not needed (chunks skipped)
+    return_uv: bool = False,
 ):
     """All-frames observation weights `[K, D]` — semantically
     `vmap(compute_observation)` over keyframes, but the per-voxel depth
@@ -233,4 +234,5 @@ def compute_observations_batch(
         True,
     )
     w = observation_weight(pt, n_cam, depth)
-    return jnp.where(valid & visible & (depth > 0.0) & (act > 0.0), w, 0.0)
+    w = jnp.where(valid & visible & (depth > 0.0) & (act > 0.0), w, 0.0)
+    return (w, uv) if return_uv else w

@@ -529,7 +529,12 @@ class SpmdLevel:
         cg_coeff_dtype: str = "bfloat16",
         axis: str = "data",
         ctx: Optional[SpmdContext] = None,
+        eg_sh_device: Optional[jnp.ndarray] = None,
     ):
+        """`eg_sh_device` overrides the per-voxel SH coefficients of
+        `st.eg_sh` with an already-on-mesh `[9, nb, B³]` array (the sharded
+        output of `parallel.spmd_stages.SpmdStages.svsh`) — the full-grid
+        voxel-SH field then never exists on a single device."""
         self.ctx = ctx or make_spmd_context(layout, mesh, axis)
         self.mesh = mesh
         self.axis = axis
@@ -547,12 +552,17 @@ class SpmdLevel:
 
         # statics re-laid for brick sharding: pad rows stripped, per-slot
         # [C, D] fields folded to [C, nb, B³] so the block axis shards
+        eg_sh = (
+            eg_sh_device
+            if eg_sh_device is not None
+            else jnp.asarray(st.eg_sh).reshape(9, nb, s)
+        )
         self._stat = (
             put(_strip_pad(st.occ), blk),
             put(_strip_pad(st.valid), blk),
             put(jnp.asarray(st.vpos).reshape(3, nb, s), mid3),
             put(st.es_ref, blk),
-            put(jnp.asarray(st.eg_sh).reshape(9, nb, s), mid3),
+            put(eg_sh, mid3),
             put(st.ea_chroma, mid3),
         )
         self._depths = put(depths, rep)

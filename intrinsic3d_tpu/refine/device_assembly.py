@@ -64,8 +64,14 @@ def build_level_static(
     grid: VoxelGrid,
     topo: LevelTopology,
     voxel_sh: np.ndarray,
+    device: bool = True,
 ) -> LevelStatic:
-    """Host-side, once per level: scatter the static table fields to dense."""
+    """Host-side, once per level: scatter the static table fields to dense.
+
+    `device=False` returns host numpy fields instead of running the jitted
+    staging program — used by the mesh pipeline (refine/mesh_pipeline.py),
+    which places each field SHARDED directly so no full-grid single-device
+    staging transient ever exists."""
     s = layout.block**3
     nb = layout.num_blocks
     d = nb * s
@@ -99,6 +105,15 @@ def build_level_static(
         ea_chroma[dd, slots_i[fwd]] = cw[fwd]
         ea_chroma[dd, slots_j[bwd]] = cw[bwd]
 
+    if not device:
+        return LevelStatic(
+            occ=np.concatenate([occ.reshape(nb, s), np.zeros((1, s), np.float32)]),
+            valid=np.concatenate([valid.reshape(nb, s), np.zeros((1, s), np.float32)]),
+            vpos=vpos,
+            es_ref=densify(grid.sdf).reshape(nb, s),
+            eg_sh=eg_sh,
+            ea_chroma=ea_chroma.reshape(3, nb, s),
+        )
     # one jitted staging program: the previous per-field eager pad/transfer
     # ops each paid a dispatch (and a first-call program load) on a remote
     # link — a measurable slice of the per-level setup at production scale

@@ -94,12 +94,15 @@ class Intrinsic3D:
         cg_iters: int = 12,
         mesh=None,
     ):
-        """`mesh` (a `jax.sharding.Mesh`) runs every level's joint GN
-        optimization spatially sharded over the mesh's devices — bricked
-        voxel blocks with halo exchange, per-iteration assembly inside the
-        sharded region, psum'd globals (parallel/spmd.py). The surrounding
-        stages (lighting estimation, recoloring, upsample) stay
-        single-device; the solver dominates the level wall-clock."""
+        """`mesh` (a `jax.sharding.Mesh`) runs every level's DEVICE stages
+        spatially sharded over the mesh's devices: the joint GN optimization
+        (bricked voxel blocks with halo exchange, per-iteration device
+        assembly inside the sharded region, psum'd globals —
+        parallel/spmd.py), the SVSH lighting estimate + per-voxel SH
+        interpolation, and the recolor sweep (parallel/spmd_stages.py), with
+        voxel state held brick-sharded across the whole level loop
+        (refine/mesh_pipeline.py). Host-side numpy stages (×2 upsample,
+        thin-shell sparsify) run between grid levels on host RAM."""
         self.cfg = cfg
         self.sensor = sensor
         self.keyframe_ids = list(keyframe_ids)
@@ -107,6 +110,9 @@ class Intrinsic3D:
         self.mesh = mesh
         self.callbacks: List[Callable[[RefinementInfo], None]] = []
         self.lighting = None
+        # per-grid-level (name, global bytes, max per-device shard bytes)
+        # placement records from the mesh path (refine/mesh_pipeline.py)
+        self.mesh_placements: List[list] = []
 
         # image formation model (``intrinsic3d.cpp:151-203``)
         cam = sensor.color_cam
@@ -258,6 +264,30 @@ class Intrinsic3D:
                 )
 
             topo = LevelTopology.build(grid)
+
+            if self.mesh is not None:
+                # every device stage of the level loop sharded over the mesh
+                # (solver + SVSH + recolor; refine/mesh_pipeline.py)
+                from intrinsic3d_tpu.refine.mesh_pipeline import MeshLevelRunner
+
+                runner = MeshLevelRunner(
+                    self, grid, topo, thres_shell, grid_lvl, coarsest
+                )
+                params, mu = runner.run(params, mu, self.cg_iters)
+                self.mesh_placements.append(runner.placement)
+                if grid_lvl > 0:
+                    t0 = time.perf_counter()
+                    self._write_back(grid, params)
+                    grid = alg.upsample(grid)
+                    log.info("   upsampled x2: %.1fs", time.perf_counter() - t0)
+                    params = Params(
+                        sdf=jnp.asarray(grid.sdf_refined),
+                        albedo=jnp.asarray(grid.albedo),
+                        poses=params.poses,
+                        intr=params.intr,
+                        dist=params.dist,
+                    )
+                continue
 
             for rgbd_lvl in range(cfg.num_rgbd_levels - 1, -1, -1):
                 if rgbd_lvl > 0 and grid_lvl < coarsest:

@@ -1,0 +1,248 @@
+"""Sharded SVSH + recolor stage parity (parallel/spmd_stages.py).
+
+The sharded stages must reproduce the single-device `estimate_svsh` /
+`voxel_sh_coeffs` / `_recolor_sweep` results on the 8-device virtual mesh —
+same subvolume partition, same gating, same top-N selection — up to
+collective reduction-order float noise. Placement is asserted measured (per
+device shard bytes), not inferred.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from intrinsic3d_tpu.config import RefinementConfig
+from intrinsic3d_tpu.grid.blocks import BlockLayout
+from intrinsic3d_tpu.grid.voxel_grid import NORMAL_OFFSETS
+from intrinsic3d_tpu.lighting.svsh import estimate_svsh, voxel_sh_coeffs
+from intrinsic3d_tpu.parallel.sharding import make_mesh
+from intrinsic3d_tpu.parallel.spmd import make_spmd_context
+from intrinsic3d_tpu.parallel.spmd_stages import (
+    SpmdStages,
+    place_block_params,
+    shard_fraction,
+)
+from intrinsic3d_tpu.refine.intrinsic3d import _recolor_sweep
+from intrinsic3d_tpu.synthetic import build_sphere_problem
+
+SUB_SIZE = 0.12
+LAMBDA_REG = 10.0
+OCCL = 0.04
+NUM_BEST = 2
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = RefinementConfig(
+        num_observations=NUM_BEST,
+        occlusion_distance=OCCL,
+        fix_poses=False,
+        fix_intrinsics=False,
+        fix_distortion=False,
+    )
+    prob = build_sphere_problem(
+        voxel_size=0.015,
+        image_size=(64, 48),
+        num_frames=3,
+        num_observations=NUM_BEST,
+        cfg=cfg,
+        perturb_sdf=0.002,
+        perturb_albedo=0.05,
+    )
+    grid = prob.grid
+    # grid state mirrors the engine's: refined fields = current params
+    grid.sdf_refined = np.asarray(prob.params.sdf).astype(np.float32)
+    grid.albedo = np.asarray(prob.params.albedo).astype(np.float32)
+
+    colors_u8 = np.clip(
+        np.stack([np.asarray(prob.images)] * 3, axis=-1) * 255.0, 0, 255
+    ).astype(np.uint8)
+
+    mesh = make_mesh(8)
+    layout = BlockLayout.build(grid, blocks_multiple=8, halo_table=False)
+    ctx = make_spmd_context(layout, mesh)
+    stages = SpmdStages.build(
+        mesh,
+        ctx,
+        layout,
+        grid,
+        prob.cam,
+        prob.depths,
+        jnp.asarray(colors_u8),
+        SUB_SIZE,
+        NUM_BEST,
+        OCCL,
+    )
+    assert stages is not None
+    bparams_s = place_block_params(mesh, layout, prob.params)
+    return prob, grid, layout, stages, bparams_s, colors_u8
+
+
+def test_svsh_coeffs_match_single_device(setup):
+    prob, grid, layout, stages, bparams_s, _ = setup
+    thres = prob.thres_shell
+    ref = estimate_svsh(grid, SUB_SIZE, LAMBDA_REG, thres, weighted=True)
+    assert ref is not None
+
+    color_bd = stages.stage_colors(grid.color)
+    got, vox_sh = stages.svsh(bparams_s, color_bd, LAMBDA_REG, thres)
+    assert got is not None
+    assert got.subvolumes.count == ref.subvolumes.count
+    np.testing.assert_array_equal(got.subvolumes.keys, ref.subvolumes.keys)
+    np.testing.assert_allclose(got.coeffs, ref.coeffs, rtol=2e-3, atol=2e-5)
+
+    # per-voxel trilinear interpolation parity (lighting_svsh.cpp:93-110)
+    ref_vox = voxel_sh_coeffs(ref, grid, thres)
+    vox_tab = np.asarray(vox_sh).reshape(9, -1).T[layout.vox_slot]
+    np.testing.assert_allclose(vox_tab, ref_vox, rtol=2e-3, atol=2e-4)
+
+    # the voxel-SH field is genuinely sharded, never on one device
+    assert shard_fraction(vox_sh) <= 1.0 / 8 + 1e-9
+
+
+def test_svsh_failure_path(setup):
+    prob, grid, layout, stages, bparams_s, _ = setup
+    # zero thin-shell threshold gates out every voxel → the reference's
+    # estimation-failure path (intrinsic3d.cpp:257-261)
+    color_bd = stages.stage_colors(grid.color)
+    got, vox_sh = stages.svsh(bparams_s, color_bd, LAMBDA_REG, -1.0)
+    assert got is None and vox_sh is None
+
+
+def test_recolor_matches_single_device(setup):
+    prob, grid, layout, stages, bparams_s, colors_u8 = setup
+    nbr4 = grid.neighbor_table(NORMAL_OFFSETS)
+    cam = prob.cam
+    ref_cols, ref_has = _recolor_sweep(
+        prob.params.sdf,
+        jnp.asarray(nbr4),
+        jnp.asarray(grid.valid_mask()),
+        jnp.asarray(grid.voxel_to_world()),
+        prob.params.poses,
+        prob.params.intr,
+        prob.params.dist,
+        prob.depths,
+        jnp.asarray(colors_u8),
+        jnp.float32(OCCL),
+        num_best=NUM_BEST,
+        width=cam.width,
+        height=cam.height,
+    )
+    ref_cols = np.asarray(ref_cols)
+    ref_has = np.asarray(ref_has)
+
+    color_bd = stages.stage_colors(grid.color)
+    new_bd, has_bd = stages.recolor(bparams_s, color_bd)
+    cols, has = stages.colors_to_table(new_bd, has_bd)
+
+    np.testing.assert_array_equal(has, ref_has)
+    np.testing.assert_allclose(
+        cols[has], ref_cols[ref_has], rtol=1e-4, atol=5e-3
+    )
+    # non-recolored voxels keep their previous color
+    np.testing.assert_array_equal(cols[~has], grid.color[~has])
+    assert shard_fraction(new_bd) <= 1.0 / 8 + 1e-9
+
+
+def test_mesh_pipeline_placement_fractions(setup):
+    """Whole-level-loop placement: every per-voxel array the mesh level loop
+    holds (params, colors, statics, per-voxel SH, buckets) must shard 1/8 —
+    measured from `addressable_shards`, not plan arithmetic."""
+    prob, grid, layout, stages, bparams_s, _ = setup
+    for name, arr in (
+        ("sdf", bparams_s.sdf),
+        ("albedo", bparams_s.albedo),
+        ("valid", stages._valid),
+        ("vpos", stages._vpos),
+        ("subvol", stages._subvol),
+    ):
+        assert shard_fraction(arr) <= 1.0 / 8 + 1e-9, name
+
+
+def test_intrinsic3d_mesh_level_loop_sharded():
+    """End-to-end: `Intrinsic3D(mesh=...)` on a 2-grid-level schedule records
+    ~1/8 per-device placement for EVERY per-voxel array of the level loop
+    (VERDICT r3 item 1 done-bar), and the refined outputs track the
+    single-device engine."""
+    from intrinsic3d_tpu.io.memory_sensor import MemorySensor
+    from intrinsic3d_tpu.refine.intrinsic3d import Intrinsic3D
+    from intrinsic3d_tpu.synthetic import (
+        DEFAULT_CENTER,
+        DEFAULT_LIGHT,
+        DEFAULT_RADIUS,
+        look_at_pose,
+        render_shading_image,
+    )
+    from intrinsic3d_tpu.camera import Camera
+
+    cam = Camera.create(70.0, 70.0, 31.5, 23.5, 64, 48)
+    eyes = [[0.0, 0.0, 0.0], [0.4, 0.05, 0.2], [-0.35, -0.1, 0.25]]
+    poses = [look_at_pose(e, DEFAULT_CENTER) for e in eyes]
+    colors, depths = [], []
+    for T in poses:
+        img, depth = render_shading_image(cam, T, DEFAULT_CENTER, DEFAULT_RADIUS, DEFAULT_LIGHT)
+        colors.append(np.stack([np.clip(img, 0, 1)] * 3, axis=-1))
+        depths.append(depth)
+    sensor = MemorySensor(cam, cam, colors, depths, poses, 0.1, 2.0)
+
+    cfg = RefinementConfig(
+        num_grid_levels=2,
+        num_rgbd_levels=1,
+        iterations=2,
+        lm_steps=4,
+        num_observations=2,
+        occlusion_distance=0.05,
+        subvolume_size_sh=0.3,
+        lambda_r0=20.0,
+        lambda_r1=10.0,
+        lambda_s0=20.0,
+        lambda_s1=10.0,
+        fix_poses=True,
+        fix_intrinsics=True,
+        fix_distortion=True,
+    )
+
+    from intrinsic3d_tpu.grid.fusion import FusionVolume, compute_scene_voxel_bounds
+    from intrinsic3d_tpu.grid import algorithms as alg
+    from intrinsic3d_tpu.image.processing import compute_normals
+
+    voxel_size = 0.03
+    vlo, vhi = compute_scene_voxel_bounds(cam, poses, 0.1, 2.0, voxel_size)
+    vol = FusionVolume(cam, cam, voxel_size, vlo, vhi, 0.1, 2.0)
+    for d, T in zip(depths, poses):
+        vol.allocate(d, T)
+    vol.build_grid()
+    for d, T, c in zip(depths, poses, colors):
+        n = np.asarray(compute_normals(cam, jnp.asarray(d)))
+        vol.integrate(d, n, c, T)
+    fused = vol.finalize()
+    fused = alg.correct_sdf(fused)
+    fused = alg.clear_invalid_voxels(fused)
+
+    mesh = make_mesh(8)
+    engine = Intrinsic3D(cfg, sensor, list(range(len(poses))), cg_iters=6, mesh=mesh)
+    refined = engine.refine(fused.clone())
+
+    engine_ref = Intrinsic3D(cfg, sensor, list(range(len(poses))), cg_iters=6)
+    refined_ref = engine_ref.refine(fused.clone())
+
+    # placement: every recorded per-voxel array sharded ≤ 1/8 (+1 pad row
+    # tolerance for block-row-padded fields)
+    assert engine.mesh_placements, "mesh path did not run"
+    for level in engine.mesh_placements:
+        assert level, "no placement records for a level"
+        for name, total, mx in level:
+            frac = mx / max(total, 1)
+            assert frac <= 1.0 / 8 + 0.02, (name, frac)
+
+    # outputs track the single-device engine (collective reduction order and
+    # the replicated SVSH solve introduce small float drift)
+    assert refined.num_voxels == refined_ref.num_voxels
+    np.testing.assert_allclose(
+        refined.sdf_refined, refined_ref.sdf_refined, rtol=5e-3, atol=5e-5
+    )
+    d = np.abs(refined.color - refined_ref.color)
+    assert np.percentile(d, 99) < 2.0  # 0..255 scale
