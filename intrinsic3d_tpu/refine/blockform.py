@@ -375,8 +375,12 @@ def cast_lin(lin: BlockLin, dtype) -> BlockLin:
     )
 
 
-def jv_block(lin: BlockLin, asm: BlockAssembly, v: Params):
-    """J·v — tangent of the residual parts, fully dense."""
+def jv_block(lin: BlockLin, asm: BlockAssembly, v: Params, include_globals: bool = True):
+    """J·v — tangent of the residual parts, fully dense.
+
+    `include_globals=False` skips the pose/intr/dist tangent einsums (their
+    15 coefficient fields are the matvec's global-side HBM traffic) — the
+    Schur-reduced matvec uses it for the voxel-only tangent."""
     nb = v.sdf.shape[0] - 1
     s = v.sdf.shape[1]
 
@@ -391,10 +395,11 @@ def jv_block(lin: BlockLin, asm: BlockAssembly, v: Params):
 
     y_g = jnp.sum(lin.a_sdf * shf, axis=0)
     y_g = y_g + jnp.sum(lin.a_alb * shaf, axis=0)
-    # frame-major rows: the pose tangent of row k is simply v.poses[k]
-    y_g = y_g + jnp.einsum("akbs,ka->kbs", lin.a_pose, v.poses)
-    y_g = y_g + jnp.einsum("akbs,a->kbs", lin.a_intr, v.intr)
-    y_g = y_g + jnp.einsum("akbs,a->kbs", lin.a_dist, v.dist)
+    if include_globals:
+        # frame-major rows: the pose tangent of row k is simply v.poses[k]
+        y_g = y_g + jnp.einsum("akbs,ka->kbs", lin.a_pose, v.poses)
+        y_g = y_g + jnp.einsum("akbs,a->kbs", lin.a_intr, v.intr)
+        y_g = y_g + jnp.einsum("akbs,a->kbs", lin.a_dist, v.dist)
 
     c = asm.sdf_plan.index((0, 0, 0))
     lap = -6.0 * sh[c]
@@ -409,8 +414,12 @@ def jv_block(lin: BlockLin, asm: BlockAssembly, v: Params):
     return (y_g, y_r, y_s, y_a)
 
 
-def jtv_block(lin: BlockLin, asm: BlockAssembly, y) -> Params:
-    """Jᵀ·y — exact adjoint of `jv_block` (PCG needs the pair symmetric)."""
+def jtv_block(lin: BlockLin, asm: BlockAssembly, y, include_globals: bool = True) -> Params:
+    """Jᵀ·y — exact adjoint of `jv_block` (PCG needs the pair symmetric).
+
+    `include_globals=False` returns zero global cotangents without streaming
+    their 15 coefficient fields (the Schur-reduced matvec needs only the
+    voxel cotangents; global coupling is handled through the [G, G] Gram)."""
     y_g, y_r, y_s, y_a = y
     nb = lin.r0_r.shape[0]
     s = lin.r0_r.shape[1]
@@ -444,6 +453,15 @@ def jtv_block(lin: BlockLin, asm: BlockAssembly, y) -> Params:
         cot_a[ei] = cot_a[ei] - ya
     g_alb = asm.alb_plan.apply_transpose(jnp.stack(cot_a))
 
+    if not include_globals:
+        k = lin.a_pose.shape[1]
+        return Params(
+            g_sdf,
+            g_alb,
+            jnp.zeros((k, 6), g_sdf.dtype),
+            jnp.zeros((4,), g_sdf.dtype),
+            jnp.zeros((5,), g_sdf.dtype),
+        )
     # frame-major rows: the pose cotangent of frame k is the row-k sum
     g_pose = jnp.einsum("akbs,kbs->ka", lin.a_pose, y_g)  # [K, 6]
     g_intr = jnp.einsum("akbs,kbs->a", lin.a_intr, y_g)
@@ -488,6 +506,83 @@ def diag_from_lin(lin: BlockLin, asm: BlockAssembly) -> Params:
     d_intr = jnp.einsum("akbs->a", lin.a_intr * lin.a_intr)
     d_dist = jnp.einsum("akbs->a", lin.a_dist * lin.a_dist)
     return Params(d_sdf, d_alb, d_pose, d_intr, d_dist)
+
+
+# ---------------------------------------------------------------------------
+# Schur complement of the global block (poses, intrinsics, distortion)
+# ---------------------------------------------------------------------------
+#
+# The globals span G = 6K+9 dims whose J columns are DENSE over every E_g
+# element — exactly the low-rank dense coupling a Jacobi preconditioner
+# handles worst (SURVEY §7.1 solver row: "Schur-complement out the small
+# dense global params … reduced via psum", nls_solver.cpp:305-307). Because
+# the elimination folds into the cotangent BEFORE the stencil transpose —
+#     S·x = Jᵥᵀ(Jᵥx − J_g·C̃⁻¹·J_gᵀ·Jᵥx) + μDᵥx
+# — the reduced matvec costs exactly ONE J/Jᵀ pair plus G-sized einsums and
+# one [G, G] triangular solve: the same per-step cost as the joint matvec,
+# on a strictly smaller, globals-free Krylov space.
+
+
+def flatten_globals(p_pose, p_intr, p_dist):
+    """(K·6, 4, 5) global leaves → one [G] vector (pose-major)."""
+    return jnp.concatenate([p_pose.reshape(-1), p_intr, p_dist])
+
+
+def unflatten_globals(g, k):
+    return g[: 6 * k].reshape(k, 6), g[6 * k : 6 * k + 4], g[6 * k + 4 :]
+
+
+def global_gram(lin: BlockLin) -> jnp.ndarray:
+    """Dense `C = J_gᵀ J_g` `[G, G]` from the coefficient fields. Frame-major
+    rows make the pose-pose part block-diagonal per frame (an element's pose
+    coefficients belong only to its own row's frame). Built from the SAME
+    (possibly bf16-cast) fields the matvec streams, accumulated in f32, so
+    the reduced operator is the exact Schur complement of the cast joint
+    Gram matrix — symmetric PSD by construction."""
+    k = lin.a_pose.shape[1]
+    f32 = jnp.float32
+
+    def gram(a, b, per_frame):
+        eq = "akbs,ckbs->kac" if per_frame else "akbs,ckbs->ac"
+        return jnp.einsum(eq, a, b, preferred_element_type=f32)
+
+    c_pp = gram(lin.a_pose, lin.a_pose, True)  # [K, 6, 6]
+    c_pi = gram(lin.a_pose, lin.a_intr, True)  # [K, 6, 4]
+    c_pd = gram(lin.a_pose, lin.a_dist, True)  # [K, 6, 5]
+    c_ii = gram(lin.a_intr, lin.a_intr, False)
+    c_id = gram(lin.a_intr, lin.a_dist, False)
+    c_dd = gram(lin.a_dist, lin.a_dist, False)
+
+    g = 6 * k + 9
+    C = jnp.zeros((g, g), f32)
+    # pose-pose block diagonal
+    pp = jax.scipy.linalg.block_diag(*[c_pp[i] for i in range(k)])
+    C = C.at[: 6 * k, : 6 * k].set(pp)
+    C = C.at[: 6 * k, 6 * k : 6 * k + 4].set(c_pi.reshape(6 * k, 4))
+    C = C.at[6 * k : 6 * k + 4, : 6 * k].set(c_pi.reshape(6 * k, 4).T)
+    C = C.at[: 6 * k, 6 * k + 4 :].set(c_pd.reshape(6 * k, 5))
+    C = C.at[6 * k + 4 :, : 6 * k].set(c_pd.reshape(6 * k, 5).T)
+    C = C.at[6 * k : 6 * k + 4, 6 * k : 6 * k + 4].set(c_ii)
+    C = C.at[6 * k : 6 * k + 4, 6 * k + 4 :].set(c_id)
+    C = C.at[6 * k + 4 :, 6 * k : 6 * k + 4].set(c_id.T)
+    C = C.at[6 * k + 4 :, 6 * k + 4 :].set(c_dd)
+    return C
+
+
+def jg_apply(lin: BlockLin, g_pose, g_intr, g_dist) -> jnp.ndarray:
+    """`J_g · v_g` on the E_g rows only — pure einsums, `[K, kb, B³]`."""
+    y = jnp.einsum("akbs,ka->kbs", lin.a_pose, g_pose)
+    y = y + jnp.einsum("akbs,a->kbs", lin.a_intr, g_intr)
+    y = y + jnp.einsum("akbs,a->kbs", lin.a_dist, g_dist)
+    return y
+
+
+def jgt_apply(lin: BlockLin, y_g):
+    """`J_gᵀ · y` restricted to the E_g rows — the global cotangents."""
+    g_pose = jnp.einsum("akbs,kbs->ka", lin.a_pose, y_g)
+    g_intr = jnp.einsum("akbs,kbs->a", lin.a_intr, y_g)
+    g_dist = jnp.einsum("akbs,kbs->a", lin.a_dist, y_g)
+    return g_pose, g_intr, g_dist
 
 
 # ---------------------------------------------------------------------------

@@ -38,6 +38,7 @@ from intrinsic3d_tpu.mathutil import (
 from intrinsic3d_tpu.observations import collect_observations, recolor
 from intrinsic3d_tpu.refine.assembly import LevelTopology
 from intrinsic3d_tpu.refine.optimizer import optimize_level
+from intrinsic3d_tpu.timer import record_phase
 from intrinsic3d_tpu.refine.residuals import Params
 
 log = logging.getLogger("intrinsic3d")
@@ -164,6 +165,7 @@ class Intrinsic3D:
             np.clip(colors_np * 255.0, 0.0, 255.0).astype(np.uint8)
         )  # [K, H, W, 3] u8
         self.poses0 = np.stack(poses).astype(np.float32)  # [K, 6] world→cam
+        record_phase("pyramids", time.perf_counter() - t0)
         log.info("   frame pyramids built: %.1fs", time.perf_counter() - t0)
 
     def add_callback(self, cb: Callable[[RefinementInfo], None]):
@@ -230,7 +232,9 @@ class Intrinsic3D:
             dist=jnp.asarray(self.dist0),
         )
         log.info("   initial SDF recolorization ...")
+        t0 = time.perf_counter()
         self.recompute_colors(grid, params)
+        record_phase("initial_recolor", time.perf_counter() - t0)
 
         mu = 1e-4
         coarsest = cfg.num_grid_levels - 1
@@ -250,6 +254,7 @@ class Intrinsic3D:
             if cfg.clear_distant_voxels:
                 t0 = time.perf_counter()
                 grid = alg.clear_voxels_outside_thin_shell(grid, thres_shell)
+                record_phase(f"sparsify[g{grid_lvl}]", time.perf_counter() - t0)
                 log.info(
                     "   sparsified to %d voxels (%.1fs)",
                     grid.num_voxels,
@@ -309,6 +314,7 @@ class Intrinsic3D:
                     break
                 self.lighting = svsh
                 voxel_sh = voxel_sh_coeffs(svsh, grid, thres_shell)
+                record_phase(f"svsh[g{grid_lvl}p{rgbd_lvl}]", time.perf_counter() - t0)
                 log.info("   svsh + per-voxel coeffs: %.1fs", time.perf_counter() - t0)
 
                 params, mu, _ = optimize_level(
@@ -332,6 +338,7 @@ class Intrinsic3D:
                 self._write_back(grid, params)
                 self.recompute_colors(grid, params)
                 self._update_sensor(params)
+                record_phase(f"recolor[g{grid_lvl}p{rgbd_lvl}]", time.perf_counter() - t0)
                 log.info("   recolor + write-back: %.1fs", time.perf_counter() - t0)
 
                 info = RefinementInfo(
@@ -351,6 +358,7 @@ class Intrinsic3D:
                 t0 = time.perf_counter()
                 self._write_back(grid, params)
                 grid = alg.upsample(grid)
+                record_phase(f"upsample[g{grid_lvl}]", time.perf_counter() - t0)
                 log.info("   upsampled x2: %.1fs", time.perf_counter() - t0)
                 params = Params(
                     sdf=jnp.asarray(grid.sdf_refined),

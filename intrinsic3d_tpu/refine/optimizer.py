@@ -31,6 +31,7 @@ from intrinsic3d_tpu.refine.blockform import (
 from intrinsic3d_tpu.refine.device_assembly import build_level_static, device_assembly
 from intrinsic3d_tpu.refine.residuals import Params
 from intrinsic3d_tpu.refine.solver import gn_iteration
+from intrinsic3d_tpu.timer import record_phase
 
 log = logging.getLogger("intrinsic3d")
 
@@ -378,6 +379,10 @@ def optimize_level(
                 reason,
             )
 
+        record_phase(
+            f"level_setup[p{rgbd_level}v{grid.num_voxels}]",
+            t_static + (time.perf_counter() - t0),
+        )
         log.info(
             "   level setup: layout+static %.1fs, bucket plan %.1fs (%d blocks, %d voxels)",
             t_static,
@@ -414,6 +419,7 @@ def optimize_level(
             )
             bparams_s = level_spmd.begin(bparams)
 
+    t_loop0 = time.perf_counter()
     for itr in range(cfg.iterations):
         if itr == 0:
             t0 = time.perf_counter()
@@ -498,6 +504,10 @@ def optimize_level(
         if itr == 0:
             # the first call blocks on trace + compile-cache load + remote
             # program upload; later iterations dispatch asynchronously
+            record_phase(
+                f"first_dispatch[p{rgbd_level}v{grid.num_voxels}]",
+                time.perf_counter() - t0,
+            )
             log.info(
                 "   first-iteration dispatch (trace/compile/load): %.1fs",
                 time.perf_counter() - t0,
@@ -508,6 +518,9 @@ def optimize_level(
     if cfg.iterations > 0:
         _log_iter(stats, cfg.iterations - 1)
     stats.costs_before = [float(c) for c in stats.costs_before]
+    record_phase(
+        f"solve[p{rgbd_level}v{grid.num_voxels}]", time.perf_counter() - t_loop0
+    )
     stats.costs_after = [float(c) for c in stats.costs_after]
     stats.tries = [int(t) for t in stats.tries]
     stats.mus = [float(m) for m in stats.mus]

@@ -163,11 +163,12 @@ def jtj_diag(params: Params, asm: Assembly) -> Params:
 # ---------------------------------------------------------------------------
 
 
-def _pcg(matvec, precond, b: Params, iters: int, eta: float = 0.1, tdot=_tdot) -> Params:
+def _pcg(matvec, precond, b: Params, iters: int, eta: float = 0.1, tdot=_tdot):
     """Preconditioned CG with the inexact-Newton forcing-sequence exit the
     reference's CGNR uses (Ceres solves the Newton system only to a relative
     tolerance η per LM step): stop when ‖r‖ ≤ η·‖b‖ or after `iters`.
-    `tdot` is the tree inner product (psum-reduced under manual SPMD)."""
+    `tdot` is the tree inner product (psum-reduced under manual SPMD).
+    Returns (x, steps_taken)."""
     x = _tmap(jnp.zeros_like, b)
     r = b
     z = precond(r)
@@ -192,8 +193,8 @@ def _pcg(matvec, precond, b: Params, iters: int, eta: float = 0.1, tdot=_tdot) -
         p = _tmap(lambda zi, pi: zi + beta * pi, z, p)
         return x, r, p, rz_new, i + 1
 
-    x, _, _, _, _ = jax.lax.while_loop(cond, body, (x, r, p, rz, jnp.int32(0)))
-    return x
+    x, _, _, _, steps = jax.lax.while_loop(cond, body, (x, r, p, rz, jnp.int32(0)))
+    return x, steps
 
 
 # ---------------------------------------------------------------------------
@@ -202,7 +203,11 @@ def _pcg(matvec, precond, b: Params, iters: int, eta: float = 0.1, tdot=_tdot) -
 
 
 @functools.partial(
-    jax.jit, static_argnames=("lm_steps", "cg_iters", "cg_coeff_dtype", "axis_name")
+    jax.jit,
+    static_argnames=(
+        "lm_steps", "cg_iters", "cg_coeff_dtype", "axis_name", "schur_globals",
+        "cg_eta",
+    ),
 )
 def gn_iteration(
     params: Params,
@@ -213,6 +218,8 @@ def gn_iteration(
     cg_iters: int = 12,
     cg_coeff_dtype: str = "bfloat16",
     axis_name: Optional[str] = None,
+    schur_globals: bool = False,
+    cg_eta: float = 0.1,
 ) -> Tuple[Params, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One relinearize→solve→accept cycle (the body of the reference's outer
     iteration, ``optimizer.cpp:119-173`` + ``nls_solver.cpp:296-337``).
@@ -257,28 +264,141 @@ def gn_iteration(
     masks = Params(*(m * (d > 0.0) for m, d in zip(masks, diag)))
     b = _mask(masks, _tmap(lambda g: -g, grad))
 
-    def try_step(mu):
-        def matvec(v):
-            vm = _mask(masks, v)
-            jj = jt(jlin(vm))[0]
-            damped = _tmap(lambda h, d, vi: h + mu * d * vi, jj, diag, vm)
-            return _tmap(
-                lambda dm, mi, vi: mi * dm + (1.0 - mi) * vi, damped, masks, v
+    if schur_globals and isinstance(asm, blockform.BlockAssembly):
+        # Schur-complement out the dense global block {poses, intr, dist}
+        # (SURVEY §7.1/§5.8; Ceres runs joint CGNR instead,
+        # nls_solver.cpp:305-307): PCG runs on the voxel space only, with the
+        # global coupling eliminated EXACTLY through the damped [G, G] Gram
+        # matrix. Folding −J_g·u into the cotangent before the stencil
+        # transpose keeps the reduced matvec at ONE J/Jᵀ pair per CG step.
+        k = params.poses.shape[0]
+        C = psum_scalar(blockform.global_gram(lin))
+        mg = blockform.flatten_globals(masks.poses, masks.intr, masks.dist)
+        dg = blockform.flatten_globals(diag.poses, diag.intr, diag.dist)
+        bg = blockform.flatten_globals(b.poses, b.intr, b.dist)
+        zerog = (
+            jnp.zeros_like(params.poses),
+            jnp.zeros_like(params.intr),
+            jnp.zeros_like(params.dist),
+        )
+
+        def tdot2(a, bb):
+            return psum_scalar(jnp.vdot(a[0], bb[0]) + jnp.vdot(a[1], bb[1]))
+
+        def psum_g3(gp, gi, gd):
+            if axis_name is None:
+                return gp, gi, gd
+            return (
+                jax.lax.psum(gp, axis_name),
+                jax.lax.psum(gi, axis_name),
+                jax.lax.psum(gd, axis_name),
             )
 
-        def precond(r):
-            return _tmap(
-                lambda ri, di, mi: mi * ri / (di * (1.0 + mu) + 1e-12) + (1.0 - mi) * ri,
-                r,
-                diag,
-                masks,
+        def try_step(mu):
+            # damped global Gram, fixed dims pinned to identity
+            Ct = mg[:, None] * (C + mu * jnp.diag(dg)) * mg[None, :]
+            Ct = Ct + jnp.diag(jnp.where(mg > 0.0, 1e-12, 1.0))
+            chol_g = jnp.linalg.cholesky(Ct)
+
+            def csolve(z):
+                zc = (mg * z)[:, None]
+                u = jax.scipy.linalg.solve_triangular(chol_g, zc, lower=True)
+                u = jax.scipy.linalg.solve_triangular(chol_g.T, u, lower=False)
+                return mg * u[:, 0]
+
+            def reduced_apply(vs, va):
+                y_g, y_r, y_s, y_a = blockform.jv_block(
+                    lin, asm, Params(vs, va, *zerog), include_globals=False
+                )
+                z = blockform.flatten_globals(
+                    *psum_g3(*blockform.jgt_apply(lin, y_g))
+                )
+                up, ui, ud = blockform.unflatten_globals(csolve(z), k)
+                y_g2 = y_g - blockform.jg_apply(lin, up, ui, ud)
+                out = blockform.jtv_block(
+                    lin, asm, (y_g2, y_r, y_s, y_a), include_globals=False
+                )
+                return out.sdf, out.albedo
+
+            # reduced rhs: bᵥ − B·C̃⁻¹·b_g   (B·y = Jᵥᵀ(J_g y), E_g rows only)
+            y0 = blockform.jg_apply(
+                lin, *blockform.unflatten_globals(csolve(bg), k)
+            )
+            corr = blockform.jtv_block(
+                lin,
+                asm,
+                (
+                    y0,
+                    jnp.zeros_like(lin.r0_r),
+                    jnp.zeros_like(lin.r0_s),
+                    jnp.zeros_like(lin.r0_a),
+                ),
+                include_globals=False,
+            )
+            b2 = (
+                masks.sdf * (b.sdf - corr.sdf),
+                masks.albedo * (b.albedo - corr.albedo),
             )
 
-        delta = _pcg(matvec, precond, b, cg_iters, tdot=tdot)
-        delta = _mask(masks, delta)
-        cand = _tmap(lambda p, d: p + d, params, delta)
-        cost = psum_scalar(0.5 * jnp.sum(jnp.square(residual_stack(cand, asm))))
-        return cand, cost
+            def matvec(v2):
+                vs = masks.sdf * v2[0]
+                va = masks.albedo * v2[1]
+                hs, ha = reduced_apply(vs, va)
+                hs = hs + mu * diag.sdf * vs
+                ha = ha + mu * diag.albedo * va
+                return (
+                    masks.sdf * hs + (1.0 - masks.sdf) * v2[0],
+                    masks.albedo * ha + (1.0 - masks.albedo) * v2[1],
+                )
+
+            def precond(r2):
+                return tuple(
+                    mi * ri / (di * (1.0 + mu) + 1e-12) + (1.0 - mi) * ri
+                    for ri, di, mi in zip(
+                        r2, (diag.sdf, diag.albedo), (masks.sdf, masks.albedo)
+                    )
+                )
+
+            (ds, da), _ = _pcg(matvec, precond, b2, cg_iters, eta=cg_eta, tdot=tdot2)
+            ds = masks.sdf * ds
+            da = masks.albedo * da
+            # back-substitution: δ_g = C̃⁻¹(b_g − J_gᵀ Jᵥ δᵥ)
+            yv = blockform.jv_block(
+                lin, asm, Params(ds, da, *zerog), include_globals=False
+            )[0]
+            zv = blockform.flatten_globals(
+                *psum_g3(*blockform.jgt_apply(lin, yv))
+            )
+            dp, di_, dd = blockform.unflatten_globals(csolve(bg - zv), k)
+            cand = _tmap(lambda p, d: p + d, params, Params(ds, da, dp, di_, dd))
+            cost = psum_scalar(0.5 * jnp.sum(jnp.square(residual_stack(cand, asm))))
+            return cand, cost
+
+    else:
+
+        def try_step(mu):
+            def matvec(v):
+                vm = _mask(masks, v)
+                jj = jt(jlin(vm))[0]
+                damped = _tmap(lambda h, d, vi: h + mu * d * vi, jj, diag, vm)
+                return _tmap(
+                    lambda dm, mi, vi: mi * dm + (1.0 - mi) * vi, damped, masks, v
+                )
+
+            def precond(r):
+                return _tmap(
+                    lambda ri, di, mi: mi * ri / (di * (1.0 + mu) + 1e-12)
+                    + (1.0 - mi) * ri,
+                    r,
+                    diag,
+                    masks,
+                )
+
+            delta, _ = _pcg(matvec, precond, b, cg_iters, eta=cg_eta, tdot=tdot)
+            delta = _mask(masks, delta)
+            cand = _tmap(lambda p, d: p + d, params, delta)
+            cost = psum_scalar(0.5 * jnp.sum(jnp.square(residual_stack(cand, asm))))
+            return cand, cost
 
     def cond(state):
         tries, accepted, mu, _, _ = state
