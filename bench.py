@@ -106,7 +106,12 @@ def main():
         basm, bmasks = device_assembly(
             st, sdf_plan, alb_plan, params, prob.depths, prob.images, *scal, lams, **akw
         )
-        return gn_iteration(params, basm, bmasks, mu, lm_steps, cg_iters)
+        # production default: global block Schur-eliminated from the PCG
+        # (same wall-clock per CG step, 30-35% lower cost per relinearization
+        # at this configuration — BENCH_NOTES round 4 "Schur A/B")
+        return gn_iteration(
+            params, basm, bmasks, mu, lm_steps, cg_iters, schur_globals=True
+        )
 
     # warmup/compile
     out = outer_iteration(params, mu)

@@ -245,6 +245,15 @@ class RefinementConfig:
     # refine/optimizer.py::plan_eg_layout). No reference equivalent — the
     # TPU-side answer to Ceres' per-residual sparsity.
     frame_bucketing: str = "auto"
+    # Eliminate the dense global block {poses, intrinsics, distortion} from
+    # the PCG through its damped Gram matrix (SURVEY §7.1/§5.8; the
+    # reference's Ceres runs joint CGNR instead, nls_solver.cpp:305-307).
+    # Measured on TPU (tools/bench_schur_ab.py, BENCH_NOTES round 4): the
+    # reduced matvec costs the same wall-clock per CG step and reaches
+    # 30-35% lower cost per relinearization at the production budget — so
+    # the reduction is the production default; set False for the
+    # Ceres-faithful joint solve.
+    schur_globals: bool = True
 
     output_mesh_prefix: str = ""
     output_mesh_normals: bool = False
@@ -294,6 +303,7 @@ class RefinementConfig:
             fix_intrinsics=s.get_bool("fix_intrinsics", d.fix_intrinsics),
             fix_distortion=s.get_bool("fix_distortion", d.fix_distortion),
             frame_bucketing=s.get_str("frame_bucketing", d.frame_bucketing),
+            schur_globals=s.get_bool("schur_globals", d.schur_globals),
             output_mesh_prefix=s.get_str("output_mesh_prefix", d.output_mesh_prefix),
             output_mesh_normals=s.get_bool("output_mesh_normals", d.output_mesh_normals),
             output_mesh_laplacian=s.get_bool("output_mesh_laplacian", d.output_mesh_laplacian),

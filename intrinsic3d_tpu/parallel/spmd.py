@@ -530,6 +530,7 @@ class SpmdLevel:
         axis: str = "data",
         ctx: Optional[SpmdContext] = None,
         eg_sh_device: Optional[jnp.ndarray] = None,
+        schur_globals: bool = False,
     ):
         """`eg_sh_device` overrides the per-voxel SH coefficients of
         `st.eg_sh` with an already-on-mesh `[9, nb, B³]` array (the sharded
@@ -637,6 +638,7 @@ class SpmdLevel:
                 cg_iters=cg_iters,
                 cg_coeff_dtype=cg_coeff_dtype,
                 axis_name=axis,
+                schur_globals=schur_globals,
             )
             out_p = out_p._replace(
                 sdf=_strip_pad(out_p.sdf), albedo=_strip_pad(out_p.albedo)

@@ -37,7 +37,7 @@ from intrinsic3d_tpu.mathutil import (
 )
 from intrinsic3d_tpu.observations import collect_observations, recolor
 from intrinsic3d_tpu.refine.assembly import LevelTopology
-from intrinsic3d_tpu.refine.optimizer import optimize_level
+from intrinsic3d_tpu.refine.optimizer import LevelPrep, optimize_level
 from intrinsic3d_tpu.timer import record_phase
 from intrinsic3d_tpu.refine.residuals import Params
 
@@ -294,10 +294,19 @@ class Intrinsic3D:
                     )
                 continue
 
+            prep = None
             for rgbd_lvl in range(cfg.num_rgbd_levels - 1, -1, -1):
                 if rgbd_lvl > 0 and grid_lvl < coarsest:
                     continue
                 log.info("level %d (pyramid %d)", grid_lvl, rgbd_lvl)
+                if prep is None:
+                    # overlap the level's layout/static/bucket build and the
+                    # remote program load with the lighting estimate
+                    prep = LevelPrep(
+                        grid, topo, params, cfg,
+                        self.depths_lvl[rgbd_lvl], self.intens_lvl[rgbd_lvl],
+                        thres_shell, rgbd_lvl, self.cg_iters,
+                    )
 
                 # lighting estimation (``intrinsic3d.cpp:250-270``)
                 t0 = time.perf_counter()
@@ -331,7 +340,21 @@ class Intrinsic3D:
                     mu0=mu,
                     cg_iters=self.cg_iters,
                     mesh=self.mesh,
+                    prep=prep,
                 )
+                used_layout = prep.layout if (prep is not None and prep.enabled) else None
+                next_r = rgbd_lvl - 1
+                if next_r >= 0 and (grid_lvl == coarsest or next_r == 0):
+                    # warm the next pyramid level's program while this level
+                    # recolors and the next SVSH estimate runs
+                    prep = LevelPrep(
+                        grid, topo, params, cfg,
+                        self.depths_lvl[next_r], self.intens_lvl[next_r],
+                        thres_shell, next_r, self.cg_iters,
+                        layout=used_layout, program_only=True,
+                    )
+                else:
+                    prep = None
 
                 # finish rgbd level (``intrinsic3d.cpp:353-378``)
                 t0 = time.perf_counter()

@@ -9,6 +9,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import logging
+import os
 import time
 from typing import Optional
 
@@ -28,7 +29,11 @@ from intrinsic3d_tpu.refine.blockform import (
     params_from_block,
     table_to_dense,
 )
-from intrinsic3d_tpu.refine.device_assembly import build_level_static, device_assembly
+from intrinsic3d_tpu.refine.device_assembly import (
+    LevelStatic,
+    build_level_static,
+    device_assembly,
+)
 from intrinsic3d_tpu.refine.residuals import Params
 from intrinsic3d_tpu.refine.solver import gn_iteration
 from intrinsic3d_tpu.timer import record_phase
@@ -214,6 +219,7 @@ def plan_eg_layout(
         "use_albedo",
         "lm_steps",
         "cg_iters",
+        "schur_globals",
     ),
 )
 def _fused_outer_step(
@@ -241,6 +247,7 @@ def _fused_outer_step(
     use_albedo,
     lm_steps,
     cg_iters,
+    schur_globals=False,
 ):
     """Device assembly + damped-GN step as ONE program.
 
@@ -271,7 +278,157 @@ def _fused_outer_step(
         use_albedo=use_albedo,
         bmap=bmap,
     )
-    return gn_iteration(bparams, basm, bmasks, mu, lm_steps, cg_iters)
+    return gn_iteration(
+        bparams, basm, bmasks, mu, lm_steps, cg_iters, schur_globals=schur_globals
+    )
+
+
+class LevelPrep:
+    """Background level preparation + program prefetch (VERDICT r3 item 6).
+
+    On the tunnel link, loading a compiled program onto the chip costs
+    seconds to tens of seconds per (grid, pyramid) level even with a warm
+    persistent compile cache (BENCH_NOTES "Per-level program-load latency"),
+    and it is paid at the level's FIRST solver dispatch — serialized after
+    SVSH. The level's program shapes are fully known before SVSH runs, so
+    this thread overlaps with it:
+
+    - builds the level's BlockLayout / LevelStatic (zero SH — filled in
+      after the lighting estimate) / frame-bucket plan on the host, and
+    - issues ONE dummy `_fused_outer_step` call with zero parameters and
+      images (all residual weights gate to zero, so every Pallas sampler
+      chunk skips and the LM loop's evaluations are ~free) purely to drive
+      the trace → compile-cache load → REMOTE PROGRAM UPLOAD through the
+      same jit cache entry the real iterations will hit.
+
+    `program_only=True` (subsequent pyramid levels of the coarsest grid)
+    skips the reusable statics and warms only the program for the next image
+    shapes. Disable with I3D_PREFETCH=0."""
+
+    def __init__(
+        self,
+        grid,
+        topo,
+        params,
+        cfg,
+        depths_level,
+        images_level,
+        thres_shell,
+        rgbd_level: int,
+        cg_iters: int,
+        layout: Optional[BlockLayout] = None,
+        program_only: bool = False,
+    ):
+        import threading
+
+        self.enabled = os.environ.get("I3D_PREFETCH", "1") != "0"
+        self.layout = layout
+        self.st = None
+        self.fb = None
+        self.reason = ""
+        self._exc = None
+        self._program_only = program_only
+        self._args = (grid, topo, params, cfg, depths_level, images_level,
+                      thres_shell, rgbd_level, cg_iters)
+        if not self.enabled:
+            return
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        try:
+            self._prepare()
+        except Exception as exc:  # noqa: BLE001 — prefetch must never kill a level
+            self._exc = exc
+            log.warning("level prefetch failed (falling back to inline): %r", exc)
+            self.layout = None
+            self.st = None
+            self.fb = None
+
+    def _prepare(self):
+        (grid, topo, params, cfg, depths_level, images_level, thres_shell,
+         rgbd_level, cg_iters) = self._args
+        t0 = time.perf_counter()
+        pyr_scale = pyramid_level_to_scale(rgbd_level)
+        h, w = int(depths_level.shape[1]), int(depths_level.shape[2])
+        if self.layout is None:
+            self.layout = BlockLayout.build(grid, halo_table=False)
+        layout = self.layout
+        if not self._program_only:
+            self.st = build_level_static(
+                layout, grid, topo, np.zeros((grid.num_voxels, 9), np.float32)
+            )
+        self.fb, self.reason = plan_eg_layout(
+            layout,
+            np.asarray(params.poses),
+            np.asarray(params.intr, np.float64) * pyr_scale,
+            cfg,
+            w,
+            h,
+            grid.voxel_size,
+            thres_shell,
+            np.asarray(depths_level),
+        )
+        # dummy program-warming call: zero weights everywhere → the solver
+        # graph executes in milliseconds; what we pay for (and overlap) is
+        # the trace + compile-cache read + remote program upload
+        nb, s = layout.num_blocks, layout.block**3
+        k = int(params.poses.shape[0])
+        sdf_plan, alb_plan = layout_plans(layout)
+        zst = LevelStatic(
+            occ=jnp.zeros((nb + 1, s)),
+            valid=jnp.zeros((nb + 1, s)),
+            vpos=jnp.zeros((3, nb * s), jnp.int32),
+            es_ref=jnp.zeros((nb, s)),
+            eg_sh=jnp.zeros((9, nb * s)),
+            ea_chroma=jnp.zeros((3, nb, s)),
+        )
+        zparams = Params(
+            sdf=jnp.zeros((nb + 1, s)),
+            albedo=jnp.zeros((nb + 1, s)),
+            poses=jnp.zeros((k, 6)),
+            intr=jnp.ones((4,)),
+            dist=jnp.zeros((5,)),
+        )
+        out = _fused_outer_step(
+            zst,
+            sdf_plan,
+            alb_plan,
+            zparams,
+            jnp.zeros_like(depths_level),
+            jnp.zeros_like(images_level),
+            jnp.float32(pyr_scale),
+            jnp.float32(1.0),
+            jnp.float32(1.0),
+            jnp.float32(thres_shell),
+            jnp.float32(cfg.occlusion_distance),
+            jnp.asarray([cfg.lambda_g, 1.0, 1.0, cfg.lambda_a], jnp.float32),
+            jnp.float32(1e-4),
+            None if self.fb is None else jnp.asarray(self.fb),
+            num_obs=cfg.num_observations,
+            width=w,
+            height=h,
+            fix_poses=cfg.fix_poses,
+            fix_intrinsics=cfg.fix_intrinsics,
+            fix_distortion=cfg.fix_distortion,
+            use_albedo=cfg.lambda_a >= 0.0,
+            lm_steps=cfg.lm_steps,
+            cg_iters=cg_iters,
+            schur_globals=getattr(cfg, "schur_globals", False),
+        )
+        jax.block_until_ready(out)
+        record_phase(f"prefetch[p{rgbd_level}v{grid.num_voxels}]", time.perf_counter() - t0)
+        log.info(
+            "   prefetched level program (pyr %d%s): %.1fs in background",
+            rgbd_level,
+            ", program only" if self._program_only else "",
+            time.perf_counter() - t0,
+        )
+
+    def join(self):
+        if self.enabled:
+            self._thread.join()
+        return self
 
 
 @dataclasses.dataclass
@@ -308,6 +465,7 @@ def optimize_level(
     cg_iters: int = 12,
     use_blocks: bool = True,
     mesh=None,
+    prep: Optional[LevelPrep] = None,
 ) -> tuple[Params, float, OptimizeStats]:
     """Run cfg.iterations relinearized GN steps; returns updated params and the
     final damping (for warm-starting the next level, mirroring the reference's
@@ -333,16 +491,32 @@ def optimize_level(
     stats = OptimizeStats([], [], [])
     level_spmd = None
 
+    if prep is not None and mesh is None:
+        prep.join()  # background layout/static/bucket build + program warm
+    else:
+        prep = None
+
     if use_blocks:
         t0 = time.perf_counter()
-        layout = BlockLayout.build(
-            grid,
-            blocks_multiple=max(8, mesh.devices.size) if mesh is not None else 8,
-            # the solver touches stencils only through ShiftPlan (nbr27);
-            # the per-cell halo gather table costs nb·W³ host lookups
-            halo_table=False,
-        )
-        st = build_level_static(layout, grid, topo, voxel_sh)
+        if prep is not None and prep.layout is not None:
+            layout = prep.layout
+        else:
+            layout = BlockLayout.build(
+                grid,
+                blocks_multiple=max(8, mesh.devices.size) if mesh is not None else 8,
+                # the solver touches stencils only through ShiftPlan (nbr27);
+                # the per-cell halo gather table costs nb·W³ host lookups
+                halo_table=False,
+            )
+        if prep is not None and prep.st is not None:
+            # the prefetched statics carry zero SH (built before the lighting
+            # estimate); fill in the per-voxel coefficients now
+            nb_, s_ = layout.num_blocks, layout.block**3
+            eg_sh_np = np.zeros((9, nb_ * s_), np.float32)
+            eg_sh_np[:, layout.vox_slot] = np.asarray(voxel_sh, np.float32).T
+            st = prep.st._replace(eg_sh=jnp.asarray(eg_sh_np))
+        else:
+            st = build_level_static(layout, grid, topo, voxel_sh)
         sdf_plan, alb_plan = layout_plans(layout)
         bparams = params._replace(
             sdf=table_to_dense(layout, params.sdf),
@@ -358,17 +532,20 @@ def optimize_level(
         # finest grid level at production scale: ~700 B/element through the
         # jitted gn_iteration graph, measured on v5e at 1.05M voxels).
         bmap = None
-        fb, reason = plan_eg_layout(
-            layout,
-            np.asarray(params.poses),
-            np.asarray(params.intr, np.float64) * pyr_scale,
-            cfg,
-            w,
-            h,
-            grid.voxel_size,
-            thres_shell,
-            np.asarray(depths_level),
-        )
+        if prep is not None and (prep.fb is not None or prep.st is not None):
+            fb, reason = prep.fb, prep.reason
+        else:
+            fb, reason = plan_eg_layout(
+                layout,
+                np.asarray(params.poses),
+                np.asarray(params.intr, np.float64) * pyr_scale,
+                cfg,
+                w,
+                h,
+                grid.voxel_size,
+                thres_shell,
+                np.asarray(depths_level),
+            )
         if fb is not None:
             bmap = jnp.asarray(fb)
             log.info(
@@ -416,6 +593,7 @@ def optimize_level(
                 bmap=fb,
                 lm_steps=cfg.lm_steps,
                 cg_iters=cg_iters,
+                schur_globals=getattr(cfg, "schur_globals", False),
             )
             bparams_s = level_spmd.begin(bparams)
 
@@ -457,6 +635,7 @@ def optimize_level(
                 use_albedo=cfg.lambda_a >= 0.0,
                 lm_steps=cfg.lm_steps,
                 cg_iters=cg_iters,
+                schur_globals=getattr(cfg, "schur_globals", False),
             )
         else:
             intr = np.asarray(params.intr)
@@ -490,7 +669,13 @@ def optimize_level(
                 cfg.fix_distortion,
             )
             params, cost0, cost1, mu, tries = gn_iteration(
-                params, asm, masks, mu, cfg.lm_steps, cg_iters
+                params,
+                asm,
+                masks,
+                mu,
+                cfg.lm_steps,
+                cg_iters,
+                schur_globals=getattr(cfg, "schur_globals", False),
             )
         # defer the scalar pulls by ONE iteration: a host round trip stalls
         # the device ~24 ms per fetch on a remote link (BENCH_NOTES.md), so

@@ -120,3 +120,53 @@ def test_schur_bf16_coefficients(block_problem):
     # at a finite CG budget the reduced system may converge FURTHER than the
     # joint one (that is the point); it must never be worse
     assert float(c1) <= float(c1j) * 1.02
+
+
+def test_schur_spmd_matches_single_device(block_problem):
+    """The reduced solve under shard_map (psum'd global Gram + per-device
+    partial reductions) matches the single-device reduced solve through the
+    production optimize_level path."""
+    import dataclasses
+
+    from intrinsic3d_tpu.parallel.sharding import make_mesh
+    from intrinsic3d_tpu.refine.optimizer import optimize_level
+    from intrinsic3d_tpu.synthetic import build_sphere_problem
+
+    cfg = RefinementConfig(
+        num_observations=2,
+        occlusion_distance=0.04,
+        fix_poses=False,
+        fix_intrinsics=False,
+        fix_distortion=False,
+        lambda_r0=20.0,
+        lambda_r1=20.0,
+        lambda_s0=20.0,
+        lambda_s1=20.0,
+        lambda_a=0.1,
+        iterations=2,
+        lm_steps=4,
+        schur_globals=True,
+    )
+    prob = build_sphere_problem(
+        voxel_size=0.015,
+        image_size=(64, 48),
+        num_frames=3,
+        num_observations=2,
+        cfg=cfg,
+        perturb_sdf=0.002,
+        perturb_albedo=0.05,
+    )
+    args = (
+        prob.grid, prob.topo, prob.params, cfg, prob.cam,
+        prob.depths, prob.images, prob.voxel_sh, prob.thres_shell,
+    )
+    _, _, st_ref = optimize_level(*args, rgbd_level=0, cg_iters=6)
+    _, _, st_spmd = optimize_level(
+        *args, rgbd_level=0, cg_iters=6, mesh=make_mesh(8)
+    )
+    np.testing.assert_allclose(st_spmd.costs_before, st_ref.costs_before, rtol=1e-4)
+    # psum reduction-order noise enters the [G, G] Gram → Cholesky → PCG
+    # chain and is amplified by the second relinearization; the trajectories
+    # track within ~1% (measured 0.7% at iteration 2, SPMD slightly lower)
+    np.testing.assert_allclose(st_spmd.costs_after, st_ref.costs_after, rtol=2e-2)
+    assert st_spmd.costs_after[-1] < st_spmd.costs_before[0]

@@ -16,6 +16,9 @@ problem scale and keyframe count:
    production budget (cg=12, bf16 coefficients), joint vs
    `schur_globals=True`.
 
+Each probe is ONE jitted `lax.scan` program (an eager CG loop would pay a
+tunnel round trip per op, BENCH_NOTES "Measurement gotcha").
+
 Usage:
     python tools/bench_schur_ab.py [--frames 8] [--voxel 0.004]
         [--size 320x240] [--steps 16] [--cpu] [--mu 1e-4]
@@ -24,6 +27,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -43,6 +47,8 @@ def main():
     ap.add_argument("--mu", type=float, default=1e-4)
     ap.add_argument("--iters", type=int, default=3, help="wall-clock outer iterations")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--fix-camera", action="store_true",
+                    help="fix intrinsics+distortion (the pipeline configuration: only poses free)")
     args = ap.parse_args()
     w, h = (int(v) for v in args.size.split("x"))
 
@@ -67,8 +73,8 @@ def main():
         num_observations=5,
         occlusion_distance=0.02,
         fix_poses=False,
-        fix_intrinsics=False,
-        fix_distortion=False,
+        fix_intrinsics=args.fix_camera,
+        fix_distortion=args.fix_camera,
     )
     prob = build_sphere_problem(
         voxel_size=args.voxel,
@@ -92,144 +98,173 @@ def main():
         file=sys.stderr,
     )
 
-    # --- convergence probe (f32 coefficients, explicit CG loops) ------------
-    @jax.jit
-    def _linearize(bp):
-        cost0, lin = blockform.linearize_block(bp, basm)
-        grad = blockform.jtv_block(lin, basm, (lin.r0_g, lin.r0_r, lin.r0_s, lin.r0_a))
-        diag = blockform.diag_from_lin(lin, basm)
-        return cost0, lin, grad, diag
-
-    cost0, lin, grad, diag = _linearize(bp)
-    masks = Params(*(m * (d > 0.0) for m, d in zip(bm, diag)))
-    b = Params(*(mi * -gi for mi, gi in zip(masks, grad)))
-
-    zerog = (
-        jnp.zeros_like(bp.poses),
-        jnp.zeros_like(bp.intr),
-        jnp.zeros_like(bp.dist),
-    )
-
-    def joint_matvec(v):
-        vm = Params(*(mi * vi for mi, vi in zip(masks, v)))
-        y = blockform.jv_block(lin, basm, vm)
-        jj = blockform.jtv_block(lin, basm, y)
-        return Params(
-            *(
-                mi * (h_ + mu * d * vi) + (1.0 - mi) * vo
-                for h_, d, vi, mi, vo in zip(jj, diag, vm, masks, v)
-            )
-        )
-
-    def tdot(a, bb):
-        return sum(jnp.vdot(x, y) for x, y in zip(a, bb))
-
-    C = blockform.global_gram(lin)
-    mg = blockform.flatten_globals(masks.poses, masks.intr, masks.dist)
-    dg = blockform.flatten_globals(diag.poses, diag.intr, diag.dist)
-    bg = blockform.flatten_globals(b.poses, b.intr, b.dist)
-    Ct = mg[:, None] * (C + mu * jnp.diag(dg)) * mg[None, :]
-    Ct = Ct + jnp.diag(jnp.where(mg > 0.0, 1e-12, 1.0))
-    chol_g = jnp.linalg.cholesky(Ct)
-
-    def csolve(z):
-        import jax.scipy.linalg as jsl
-
-        u = jsl.solve_triangular(chol_g, (mg * z)[:, None], lower=True)
-        u = jsl.solve_triangular(chol_g.T, u, lower=False)
-        return mg * u[:, 0]
-
-    def reduced_matvec(v2):
-        vs = masks.sdf * v2[0]
-        va = masks.albedo * v2[1]
-        y_g, y_r, y_s, y_a = blockform.jv_block(lin, basm, Params(vs, va, *zerog), include_globals=False)
-        z = blockform.flatten_globals(*blockform.jgt_apply(lin, y_g))
-        up, ui, ud = blockform.unflatten_globals(csolve(z), k)
-        y_g2 = y_g - blockform.jg_apply(lin, up, ui, ud)
-        out = blockform.jtv_block(lin, basm, (y_g2, y_r, y_s, y_a), include_globals=False)
-        return (
-            masks.sdf * (out.sdf + mu * diag.sdf * vs) + (1.0 - masks.sdf) * v2[0],
-            masks.albedo * (out.albedo + mu * diag.albedo * va)
-            + (1.0 - masks.albedo) * v2[1],
-        )
-
-    y0 = blockform.jg_apply(lin, *blockform.unflatten_globals(csolve(bg), k))
-    corr = blockform.jtv_block(
-        lin,
-        basm,
-        (y0, jnp.zeros_like(lin.r0_r), jnp.zeros_like(lin.r0_s), jnp.zeros_like(lin.r0_a)),
-        include_globals=False,
-    )
-    b2 = (masks.sdf * (b.sdf - corr.sdf), masks.albedo * (b.albedo - corr.albedo))
-
-    @jax.jit
-    def true_cost(cand):
-        r = residual_stack(cand, basm)
-        return 0.5 * jnp.sum(r * r)
-
-    def jacobi(keys):
-        def p(r):
-            out = []
-            for ri, di, mi in zip(r, [getattr(diag, kk) for kk in keys], [getattr(masks, kk) for kk in keys]):
-                out.append(mi * ri / (di * (1.0 + mu) + 1e-12) + (1.0 - mi) * ri)
-            return tuple(out)
-
-        return p
-
-    def run_cg(matvec, precond, rhs, steps, cand_of):
-        x = tuple(jnp.zeros_like(v) for v in rhs)
-        r = rhs
-        z = precond(r)
-        p = z
-        rz = tdot(r, z)
+    def cg_scan(matvec, precond, rhs, steps, cand_cost, tdot):
+        """Fixed-step PCG recording (rel residual, true cost) per step."""
+        x0 = jax.tree_util.tree_map(jnp.zeros_like, rhs)
+        z0 = precond(rhs)
         rr0 = tdot(rhs, rhs)
-        hist = []
-        for _ in range(steps):
+
+        def step(carry, _):
+            x, r, p, rz = carry
             ap_ = matvec(p)
             alpha = rz / jnp.maximum(tdot(p, ap_), 1e-30)
-            x = tuple(xi + alpha * pi for xi, pi in zip(x, p))
-            r = tuple(ri - alpha * api for ri, api in zip(r, ap_))
+            x = jax.tree_util.tree_map(lambda xi, pi: xi + alpha * pi, x, p)
+            r = jax.tree_util.tree_map(lambda ri, api: ri - alpha * api, r, ap_)
             z = precond(r)
             rz_new = tdot(r, z)
             beta = rz_new / jnp.maximum(rz, 1e-30)
-            p = tuple(zi + beta * pi for zi, pi in zip(z, p))
-            rz = rz_new
-            rel = float(jnp.sqrt(tdot(r, r) / rr0))
-            hist.append((rel, float(true_cost(cand_of(x)))))
-        return hist
+            p = jax.tree_util.tree_map(lambda zi, pi: zi + beta * pi, z, p)
+            rel = jnp.sqrt(tdot(r, r) / jnp.maximum(rr0, 1e-30))
+            return (x, r, p, rz_new), (rel, cand_cost(x))
 
-    def joint_cand(x):
-        d = Params(*(mi * xi for mi, xi in zip(masks, x)))
-        return Params(*(pi + di for pi, di in zip(bp, d)))
+        (_, _, _, _), hist = jax.lax.scan(
+            step, (x0, rhs, z0, tdot(rhs, z0)), None, length=steps
+        )
+        return hist  # (rel [steps], cost [steps])
 
-    def reduced_cand(x2):
-        ds = masks.sdf * x2[0]
-        da = masks.albedo * x2[1]
-        yv = blockform.jv_block(lin, basm, Params(ds, da, *zerog), include_globals=False)[0]
-        zv = blockform.flatten_globals(*blockform.jgt_apply(lin, yv))
-        dp, di_, dd = blockform.unflatten_globals(csolve(bg - zv), k)
-        return Params(bp.sdf + ds, bp.albedo + da, bp.poses + dp, bp.intr + di_, bp.dist + dd)
+    @functools.partial(jax.jit, static_argnames=("steps",))
+    def joint_probe(bp, basm, bm, steps):
+        cost0, lin = blockform.linearize_block(bp, basm)
+        grad = blockform.jtv_block(lin, basm, (lin.r0_g, lin.r0_r, lin.r0_s, lin.r0_a))
+        diag = blockform.diag_from_lin(lin, basm)
+        masks = Params(*(m * (d > 0.0) for m, d in zip(bm, diag)))
+        b = Params(*(mi * -gi for mi, gi in zip(masks, grad)))
 
-    keys5 = ("sdf", "albedo", "poses", "intr", "dist")
-    hist_joint = run_cg(joint_matvec, jacobi(keys5), tuple(b), args.steps, joint_cand)
-    hist_red = run_cg(
-        reduced_matvec, jacobi(("sdf", "albedo")), b2, args.steps, reduced_cand
-    )
+        def tdot(a, bb):
+            return sum(jnp.vdot(x, y) for x, y in zip(a, bb))
 
-    c0 = float(cost0)
+        def matvec(v):
+            vm = Params(*(mi * vi for mi, vi in zip(masks, v)))
+            jj = blockform.jtv_block(lin, basm, blockform.jv_block(lin, basm, vm))
+            return Params(
+                *(
+                    mi * (h_ + mu * d * vi) + (1.0 - mi) * vo
+                    for h_, d, vi, mi, vo in zip(jj, diag, vm, masks, v)
+                )
+            )
+
+        def precond(r):
+            return Params(
+                *(
+                    mi * ri / (di * (1.0 + mu) + 1e-12) + (1.0 - mi) * ri
+                    for ri, di, mi in zip(r, diag, masks)
+                )
+            )
+
+        def cand_cost(x):
+            d = Params(*(mi * xi for mi, xi in zip(masks, x)))
+            cand = Params(*(pi + di for pi, di in zip(bp, d)))
+            r = residual_stack(cand, basm)
+            return 0.5 * jnp.sum(r * r)
+
+        rel, cost = cg_scan(matvec, precond, b, steps, cand_cost, tdot)
+        return cost0, rel, cost
+
+    @functools.partial(jax.jit, static_argnames=("steps",))
+    def reduced_probe(bp, basm, bm, steps):
+        import jax.scipy.linalg as jsl
+
+        cost0, lin = blockform.linearize_block(bp, basm)
+        grad = blockform.jtv_block(lin, basm, (lin.r0_g, lin.r0_r, lin.r0_s, lin.r0_a))
+        diag = blockform.diag_from_lin(lin, basm)
+        masks = Params(*(m * (d > 0.0) for m, d in zip(bm, diag)))
+        b = Params(*(mi * -gi for mi, gi in zip(masks, grad)))
+        zerog = (
+            jnp.zeros_like(bp.poses),
+            jnp.zeros_like(bp.intr),
+            jnp.zeros_like(bp.dist),
+        )
+
+        C = blockform.global_gram(lin)
+        mg = blockform.flatten_globals(masks.poses, masks.intr, masks.dist)
+        dg = blockform.flatten_globals(diag.poses, diag.intr, diag.dist)
+        bg = blockform.flatten_globals(b.poses, b.intr, b.dist)
+        Ct = mg[:, None] * (C + mu * jnp.diag(dg)) * mg[None, :]
+        Ct = Ct + jnp.diag(jnp.where(mg > 0.0, 1e-12, 1.0))
+        chol_g = jnp.linalg.cholesky(Ct)
+
+        def csolve(z):
+            u = jsl.solve_triangular(chol_g, (mg * z)[:, None], lower=True)
+            u = jsl.solve_triangular(chol_g.T, u, lower=False)
+            return mg * u[:, 0]
+
+        def tdot(a, bb):
+            return sum(jnp.vdot(x, y) for x, y in zip(a, bb))
+
+        def matvec(v2):
+            vs = masks.sdf * v2[0]
+            va = masks.albedo * v2[1]
+            y_g, y_r, y_s, y_a = blockform.jv_block(
+                lin, basm, Params(vs, va, *zerog), include_globals=False
+            )
+            z = blockform.flatten_globals(*blockform.jgt_apply(lin, y_g))
+            up, ui, ud = blockform.unflatten_globals(csolve(z), k)
+            y_g2 = y_g - blockform.jg_apply(lin, up, ui, ud)
+            out = blockform.jtv_block(
+                lin, basm, (y_g2, y_r, y_s, y_a), include_globals=False
+            )
+            return (
+                masks.sdf * (out.sdf + mu * diag.sdf * vs) + (1.0 - masks.sdf) * v2[0],
+                masks.albedo * (out.albedo + mu * diag.albedo * va)
+                + (1.0 - masks.albedo) * v2[1],
+            )
+
+        y0 = blockform.jg_apply(lin, *blockform.unflatten_globals(csolve(bg), k))
+        corr = blockform.jtv_block(
+            lin,
+            basm,
+            (y0, jnp.zeros_like(lin.r0_r), jnp.zeros_like(lin.r0_s), jnp.zeros_like(lin.r0_a)),
+            include_globals=False,
+        )
+        b2 = (masks.sdf * (b.sdf - corr.sdf), masks.albedo * (b.albedo - corr.albedo))
+
+        def precond(r2):
+            return tuple(
+                mi * ri / (di * (1.0 + mu) + 1e-12) + (1.0 - mi) * ri
+                for ri, di, mi in zip(
+                    r2, (diag.sdf, diag.albedo), (masks.sdf, masks.albedo)
+                )
+            )
+
+        def cand_cost(x2):
+            ds = masks.sdf * x2[0]
+            da = masks.albedo * x2[1]
+            yv = blockform.jv_block(
+                lin, basm, Params(ds, da, *zerog), include_globals=False
+            )[0]
+            zv = blockform.flatten_globals(*blockform.jgt_apply(lin, yv))
+            dp, di_, dd = blockform.unflatten_globals(csolve(bg - zv), k)
+            cand = Params(
+                bp.sdf + ds, bp.albedo + da, bp.poses + dp, bp.intr + di_, bp.dist + dd
+            )
+            r = residual_stack(cand, basm)
+            return 0.5 * jnp.sum(r * r)
+
+        rel, cost = cg_scan(matvec, precond, b2, steps, cand_cost, tdot)
+        return cost0, rel, cost
+
+    t0 = time.perf_counter()
+    c0j, rel_j, cost_j = jax.block_until_ready(joint_probe(bp, basm, bm, args.steps))
+    t_joint_probe = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    c0r, rel_r, cost_r = jax.block_until_ready(reduced_probe(bp, basm, bm, args.steps))
+    t_red_probe = time.perf_counter() - t0
+    rel_j, cost_j = np.asarray(rel_j), np.asarray(cost_j)
+    rel_r, cost_r = np.asarray(rel_r), np.asarray(cost_r)
+
+    c0 = float(c0j)
     print(f"cost0 = {c0:.6f}", file=sys.stderr)
     print("step   joint rel | cost      reduced rel | cost", file=sys.stderr)
-    for i, ((rj, cj), (rr, cr)) in enumerate(zip(hist_joint, hist_red)):
+    for i in range(args.steps):
         print(
-            f"{i + 1:4d}   {rj:.4f} | {cj:.6f}    {rr:.4f} | {cr:.6f}",
+            f"{i + 1:4d}   {rel_j[i]:.4f} | {cost_j[i]:.6f}    "
+            f"{rel_r[i]:.4f} | {cost_r[i]:.6f}",
             file=sys.stderr,
         )
 
-    def exit_step(hist, eta):
-        for i, (rel, _) in enumerate(hist):
-            if rel <= eta:
-                return i + 1
-        return None
+    def exit_step(rel, eta):
+        hit = np.flatnonzero(rel <= eta)
+        return int(hit[0] + 1) if len(hit) else None
 
     # --- production wall-clock (bf16, cg=12, full outer iterations) ---------
     def wall(schur):
@@ -238,33 +273,38 @@ def main():
         out = gn_iteration(p_, basm, bm, mu_, 8, 12, schur_globals=schur)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
-        p_, _, c1, mu_, _ = out
+        costs = []
         for _ in range(args.iters):
-            p_, _, c1, mu_, _ = gn_iteration(p_, basm, bm, mu_, 8, 12, schur_globals=schur)
-        c1 = float(c1)
-        return (time.perf_counter() - t0) / args.iters, c1
+            p_, _, c1, mu_, _ = gn_iteration(
+                p_, basm, bm, mu_, 8, 12, schur_globals=schur
+            )
+            costs.append(c1)
+        costs = [float(c) for c in costs]
+        return (time.perf_counter() - t0) / args.iters, costs
 
-    wall_joint, cost_joint = wall(False)
-    wall_red, cost_red = wall(True)
+    wall_joint, costs_joint = wall(False)
+    time.sleep(2)
+    wall_red, costs_red = wall(True)
 
     result = {
         "frames": k,
         "voxels": int(prob.grid.num_voxels),
         "mu": mu,
         "cost0": c0,
+        "probe_wall_s": {"joint": round(t_joint_probe, 1), "reduced": round(t_red_probe, 1)},
         "joint": {
-            "exit_eta0.1": exit_step(hist_joint, 0.1),
-            "exit_eta0.01": exit_step(hist_joint, 0.01),
-            "cost_at_steps": {str(i + 1): h[1] for i, h in enumerate(hist_joint)},
+            "exit_eta0.1": exit_step(rel_j, 0.1),
+            "exit_eta0.01": exit_step(rel_j, 0.01),
+            "cost_at_steps": [round(float(c), 6) for c in cost_j],
             "gn_iteration_s": round(wall_joint, 4),
-            "gn_cost_after": cost_joint,
+            "gn_costs": costs_joint,
         },
         "reduced": {
-            "exit_eta0.1": exit_step(hist_red, 0.1),
-            "exit_eta0.01": exit_step(hist_red, 0.01),
-            "cost_at_steps": {str(i + 1): h[1] for i, h in enumerate(hist_red)},
+            "exit_eta0.1": exit_step(rel_r, 0.1),
+            "exit_eta0.01": exit_step(rel_r, 0.01),
+            "cost_at_steps": [round(float(c), 6) for c in cost_r],
             "gn_iteration_s": round(wall_red, 4),
-            "gn_cost_after": cost_red,
+            "gn_costs": costs_red,
         },
     }
     print(json.dumps(result))
