@@ -171,7 +171,16 @@ class FusionVolume:
         clip_bounds: Optional[Tuple[float, ...]] = None,
         integration_weight_sample: float = 10.0,
         alloc_step_factor: float = 0.25,
+        mesh=None,
     ):
+        """`mesh` (a `jax.sharding.Mesh`) runs the integration pass sharded
+        over the mesh's `data` axis: the per-voxel projective update is
+        voxel-independent, so the accumulators and world points shard along
+        the voxel axis (padded to a device multiple) with images replicated —
+        XLA partitions the jitted update from the operand shardings alone
+        (no collectives, no shard_map). Allocation (the dense occupancy
+        bitmap scatter) stays single-device: it is a few fused scatters over
+        a bitmap and is not a memory or time bottleneck."""
         self.depth_cam = depth_cam
         self.color_cam = color_cam
         self.voxel_size = float(voxel_size)
@@ -204,6 +213,8 @@ class FusionVolume:
         self.grid: Optional[VoxelGrid] = None
         self._acc = None
         self._world_pts = None
+        self.mesh = mesh
+        self._pad = 0
 
     # -- phase 1: allocation ----------------------------------------------
 
@@ -252,8 +263,8 @@ class FusionVolume:
         self._acc = _integrate_frames(
             self._acc,
             self._world_pts,
-            jnp.asarray(depths, jnp.float32),
-            jnp.asarray(colors, jnp.float32),
+            self._replicated(depths),
+            self._replicated(colors),
             jnp.asarray(Tinv[:, :3, :3], jnp.float32),
             jnp.asarray(Tinv[:, :3, 3], jnp.float32),
             self.depth_cam,
@@ -274,13 +285,33 @@ class FusionVolume:
         )
         self.grid.integration_weight_sample = self.weight_sample
         n = self.grid.num_voxels
-        self._world_pts = jnp.asarray(self.grid.voxel_to_world())
-        self._acc = (
-            jnp.zeros(n, jnp.float32),  # Σ w·sdf
-            jnp.zeros(n, jnp.float32),  # Σ w
-            jnp.zeros((n, 3), jnp.float32),  # Σ w·color (0..255)
-            jnp.zeros(n, jnp.float32),  # Σ w (color-valid)
-        )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            ndev = int(self.mesh.devices.size)
+            self._pad = (-n) % ndev
+            npad = n + self._pad
+            sh1 = NamedSharding(self.mesh, P("data"))
+            sh2 = NamedSharding(self.mesh, P("data", None))
+            pts = np.pad(
+                self.grid.voxel_to_world().astype(np.float32),
+                ((0, self._pad), (0, 0)),
+            )
+            self._world_pts = jax.device_put(jnp.asarray(pts), sh2)
+            self._acc = (
+                jax.device_put(jnp.zeros(npad, jnp.float32), sh1),  # Σ w·sdf
+                jax.device_put(jnp.zeros(npad, jnp.float32), sh1),  # Σ w
+                jax.device_put(jnp.zeros((npad, 3), jnp.float32), sh2),  # Σ w·c
+                jax.device_put(jnp.zeros(npad, jnp.float32), sh1),  # Σ w (col)
+            )
+        else:
+            self._world_pts = jnp.asarray(self.grid.voxel_to_world())
+            self._acc = (
+                jnp.zeros(n, jnp.float32),  # Σ w·sdf
+                jnp.zeros(n, jnp.float32),  # Σ w
+                jnp.zeros((n, 3), jnp.float32),  # Σ w·color (0..255)
+                jnp.zeros(n, jnp.float32),  # Σ w (color-valid)
+            )
         return self.grid
 
     # -- phase 2: integration ---------------------------------------------
@@ -298,9 +329,9 @@ class FusionVolume:
         self._acc = _integrate_frame(
             self._acc,
             self._world_pts,
-            jnp.asarray(depth, jnp.float32),
-            jnp.asarray(normals, jnp.float32),
-            jnp.asarray(color, jnp.float32),
+            self._replicated(depth),
+            self._replicated(normals),
+            self._replicated(color),
             jnp.asarray(Tinv[:3, :3], jnp.float32),
             jnp.asarray(Tinv[:3, 3], jnp.float32),
             self.depth_cam,
@@ -311,8 +342,19 @@ class FusionVolume:
             self.depth_max,
         )
 
+    def _replicated(self, x):
+        """Image stacks as mesh-replicated arrays (mesh mode) so the jitted
+        integration has consistent operand placements."""
+        x = jnp.asarray(x, jnp.float32)
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(x, NamedSharding(self.mesh, P()))
+
     def finalize(self) -> VoxelGrid:
-        wsdf, w, wc, cw = (np.asarray(a) for a in self._acc)
+        n = self.grid.num_voxels
+        wsdf, w, wc, cw = (np.asarray(a)[:n] for a in self._acc)
         g = self.grid
         seen = w > 0.0
         g.sdf = np.where(seen, wsdf / np.maximum(w, 1e-12), 0.0).astype(np.float32)

@@ -219,9 +219,14 @@ def test_optimize_level_spmd_matches_single_device(problem):
     prob, _, _ = problem
     mesh = make_mesh(8)
     for mode in ("never", "always"):
+        # joint solver here: this test pins the SHARDING machinery tightly;
+        # the Schur default's SPMD equivalence (looser — its Gram/Cholesky
+        # chain amplifies psum reduction-order noise across
+        # relinearizations) is pinned by tests/test_schur.py
         cfg = dataclasses.replace(
             prob.cfg, iterations=2, lm_steps=6, frame_bucketing=mode,
             lambda_r0=20.0, lambda_r1=20.0, lambda_s0=20.0, lambda_s1=20.0,
+            schur_globals=False,
         )
         args = (
             prob.grid, prob.topo, prob.params, cfg, prob.cam,
@@ -232,17 +237,14 @@ def test_optimize_level_spmd_matches_single_device(problem):
         np.testing.assert_allclose(
             st_spmd.costs_before, st_ref.costs_before, rtol=1e-4, err_msg=mode
         )
-        # psum reduction-order noise through the Schur Gram/Cholesky chain
-        # (production default) is amplified by the second relinearization
-        # (~1%); see tests/test_schur.py::test_schur_spmd_matches_single_device
         np.testing.assert_allclose(
-            st_spmd.costs_after, st_ref.costs_after, rtol=2e-2, err_msg=mode
+            st_spmd.costs_after, st_ref.costs_after, rtol=1e-3, err_msg=mode
         )
         np.testing.assert_allclose(
-            np.asarray(p_spmd.sdf), np.asarray(p_ref.sdf), atol=2e-3, err_msg=mode
+            np.asarray(p_spmd.sdf), np.asarray(p_ref.sdf), atol=5e-4, err_msg=mode
         )
         np.testing.assert_allclose(
-            np.asarray(p_spmd.albedo), np.asarray(p_ref.albedo), atol=2e-3, err_msg=mode
+            np.asarray(p_spmd.albedo), np.asarray(p_ref.albedo), atol=5e-4, err_msg=mode
         )
 
 

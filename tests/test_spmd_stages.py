@@ -246,3 +246,48 @@ def test_intrinsic3d_mesh_level_loop_sharded():
     )
     d = np.abs(refined.color - refined_ref.color)
     assert np.percentile(d, 99) < 2.0  # 0..255 scale
+
+
+def test_fusion_integration_sharded_matches_single_device():
+    """TSDF integration under a mesh (voxel-sharded accumulators, replicated
+    images — the per-voxel projective update has no cross-voxel coupling)
+    reproduces the single-device fusion bitwise: identical frame order,
+    identical per-voxel reductions."""
+    from intrinsic3d_tpu.camera import Camera
+    from intrinsic3d_tpu.grid.fusion import FusionVolume, compute_scene_voxel_bounds
+    from intrinsic3d_tpu.image.processing import compute_normals
+    from intrinsic3d_tpu.synthetic import (
+        DEFAULT_CENTER,
+        DEFAULT_LIGHT,
+        DEFAULT_RADIUS,
+        look_at_pose,
+        render_shading_image,
+    )
+
+    cam = Camera.create(70.0, 70.0, 31.5, 23.5, 64, 48)
+    eyes = [[0.0, 0.0, 0.0], [0.3, 0.05, 0.15], [-0.25, -0.1, 0.2]]
+    poses = [look_at_pose(e, DEFAULT_CENTER) for e in eyes]
+    colors, depths = [], []
+    for T in poses:
+        img, depth = render_shading_image(cam, T, DEFAULT_CENTER, DEFAULT_RADIUS, DEFAULT_LIGHT)
+        colors.append(np.stack([np.clip(img, 0, 1)] * 3, axis=-1).astype(np.float32))
+        depths.append(depth)
+
+    voxel_size = 0.02
+    vlo, vhi = compute_scene_voxel_bounds(cam, poses, 0.1, 2.0, voxel_size)
+
+    def run(mesh):
+        vol = FusionVolume(cam, cam, voxel_size, vlo, vhi, 0.1, 2.0, mesh=mesh)
+        vol.allocate_batch(np.stack(depths), np.stack(poses))
+        vol.build_grid()
+        vol.integrate_batch(np.stack(depths), np.stack(colors), np.stack(poses))
+        return vol.finalize()
+
+    g_ref = run(None)
+    g_mesh = run(make_mesh(8))
+    assert g_mesh.num_voxels == g_ref.num_voxels
+    np.testing.assert_array_equal(g_mesh.sdf, g_ref.sdf)
+    np.testing.assert_array_equal(g_mesh.weight, g_ref.weight)
+    # the partitioned program fuses the color multiply-adds slightly
+    # differently (measured ≤1.3e-7 relative on CPU); geometry is bitwise
+    np.testing.assert_allclose(g_mesh.color, g_ref.color, rtol=1e-5, atol=1e-4)
