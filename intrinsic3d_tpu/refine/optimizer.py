@@ -354,10 +354,6 @@ class LevelPrep:
         if self.layout is None:
             self.layout = BlockLayout.build(grid, halo_table=False)
         layout = self.layout
-        if not self._program_only:
-            self.st = build_level_static(
-                layout, grid, topo, np.zeros((grid.num_voxels, 9), np.float32)
-            )
         self.fb, self.reason = plan_eg_layout(
             layout,
             np.asarray(params.poses),
@@ -369,6 +365,24 @@ class LevelPrep:
             thres_shell,
             np.asarray(depths_level),
         )
+        if not self._program_only:
+            # the static build (host numpy scatters, seconds at the finest
+            # level) overlaps with the dummy call's remote program load below:
+            # the dummy needs only shapes, which are fixed once fb is planned
+            import threading
+
+            st_box = {}
+
+            def _build_st():
+                try:
+                    st_box["st"] = build_level_static(
+                        layout, grid, topo, np.zeros((grid.num_voxels, 9), np.float32)
+                    )
+                except Exception as exc:  # noqa: BLE001
+                    st_box["exc"] = exc
+
+            st_thread = threading.Thread(target=_build_st, daemon=True)
+            st_thread.start()
         # dummy program-warming call: zero weights everywhere → the solver
         # graph executes in milliseconds; what we pay for (and overlap) is
         # the trace + compile-cache read + remote program upload
@@ -417,6 +431,11 @@ class LevelPrep:
             schur_globals=getattr(cfg, "schur_globals", False),
         )
         jax.block_until_ready(out)
+        if not self._program_only:
+            st_thread.join()
+            if "exc" in st_box:
+                raise st_box["exc"]
+            self.st = st_box["st"]
         record_phase(f"prefetch[p{rgbd_level}v{grid.num_voxels}]", time.perf_counter() - t0)
         log.info(
             "   prefetched level program (pyr %d%s): %.1fs in background",
