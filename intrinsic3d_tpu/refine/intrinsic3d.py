@@ -103,7 +103,11 @@ class Intrinsic3D:
         interpolation, and the recolor sweep (parallel/spmd_stages.py), with
         voxel state held brick-sharded across the whole level loop
         (refine/mesh_pipeline.py). Host-side numpy stages (×2 upsample,
-        thin-shell sparsify) run between grid levels on host RAM."""
+        thin-shell sparsify) run between grid levels on host RAM. The one
+        remaining single-device device stage is the INITIAL recolorization,
+        which runs once at the fused (coarsest) grid size before any level
+        loop — not in the memory-forced regime; TSDF fusion itself accepts
+        its own `mesh` (grid/fusion.py::FusionVolume)."""
         self.cfg = cfg
         self.sensor = sensor
         self.keyframe_ids = list(keyframe_ids)
