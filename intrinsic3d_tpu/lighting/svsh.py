@@ -115,6 +115,10 @@ def _estimate_full(
     color,  # [N, 3] 0..255
     subvol,  # [N] int32 (−1 = outside partition)
     pairs,  # [P, 2] int32 directed neighbor pairs
+    pts,  # [N, 3] world positions (per-voxel SH interpolation)
+    cell_tab,  # dense subvolume-cell id lookup
+    cell_origin,  # [3]
+    sub_size,
     num_subvolumes,  # static
     weighted,  # static
     lambda_reg,
@@ -154,7 +158,44 @@ def _estimate_full(
         num_subvolumes,
         lambda_reg,
     )
-    return coeffs, jnp.sum(valid)
+    # per-voxel trilinear SH interpolation ON DEVICE, in the same program:
+    # the host-numpy `voxel_sh_coeffs` costs ~6.5 s at the 1.05M-voxel
+    # finest pipeline level (measured round 4), while the device gather adds
+    # ~nothing to a program that is already loaded for the estimate
+    cvox = trilerp_subvolumes(coeffs, pts, cell_tab, cell_origin, sub_size)
+    inside = validm & (jnp.abs(sdfr) <= thres_shell)
+    vox_sh = jnp.where(inside[:, None], cvox, 0.0)
+    return coeffs, jnp.sum(valid), vox_sh
+
+
+def trilerp_subvolumes(coeffs, pts, cell_tab, cell_origin, sub_size):
+    """Device twin of `Subvolumes.interpolation` + `interpolate_values`:
+    −0.5 center offset, missing-neighbor weight zeroing, renormalization
+    (``subvolumes.cpp:164-208``). `pts [M, 3]` world positions, `cell_tab`
+    a dense cell-id lookup from `Subvolumes.cell_lookup`. Returns `[M, 9]`."""
+    pos = pts / sub_size - 0.5
+    base = jnp.floor(pos)
+    frac = pos - base
+    offs = jnp.asarray(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1],
+         [1, 1, 0], [0, 1, 1], [1, 0, 1], [1, 1, 1]],
+        jnp.int32,
+    )
+    corners = base.astype(jnp.int32)[:, None, :] + offs[None, :, :]  # [M, 8, 3]
+    w = jnp.prod(
+        jnp.where(offs[None, :, :] == 1, frac[:, None, :], 1.0 - frac[:, None, :]),
+        axis=-1,
+    )  # [M, 8]
+    idx3 = corners - jnp.asarray(cell_origin, jnp.int32)
+    dims = jnp.asarray(cell_tab.shape, jnp.int32)
+    inb = jnp.all((idx3 >= 0) & (idx3 < dims), axis=-1)
+    idx3c = jnp.clip(idx3, 0, dims - 1)
+    ids = jnp.where(inb, cell_tab[idx3c[..., 0], idx3c[..., 1], idx3c[..., 2]], -1)
+    w = jnp.where(ids >= 0, w, 0.0)
+    wsum = jnp.sum(w, axis=-1, keepdims=True)
+    w = jnp.where(wsum > 0.0, w / jnp.where(wsum == 0.0, 1.0, wsum), 0.0)
+    vals = coeffs[jnp.maximum(ids, 0)]  # [M, 8, 9]
+    return jnp.sum(vals * w[..., None], axis=1)
 
 
 @dataclasses.dataclass
@@ -171,18 +212,26 @@ def estimate_svsh(
     weighted: bool = True,
     normals: Optional[np.ndarray] = None,
     normal_valid: Optional[np.ndarray] = None,
+    with_voxel_sh: bool = False,
 ) -> Optional[SVSHResult]:
-    """Estimate per-subvolume SH coefficients (``lighting_svsh.cpp:166-346``)."""
+    """Estimate per-subvolume SH coefficients (``lighting_svsh.cpp:166-346``).
+
+    `with_voxel_sh=True` additionally returns the per-voxel trilinearly
+    interpolated coefficients `[N, 9]` computed ON DEVICE inside the same
+    program (the production pipeline path; `voxel_sh_coeffs` remains the
+    host-numpy equivalent for tests/visualization) — the return becomes
+    `(SVSHResult | None, vox_sh | None)`."""
     if grid.num_voxels == 0 or thres_shell <= 0.0:
-        return None
+        return (None, None) if with_voxel_sh else None
     pts = grid.voxel_to_world()
     sub = Subvolumes.compute(pts, subvolume_size)
     if sub.count == 0:
-        return None
+        return (None, None) if with_voxel_sh else None
 
     subvol = sub.point_to_subvolume(pts)
 
     if normals is not None:
+        assert not with_voxel_sh  # legacy staged path (tests/visualization)
         # caller-supplied normals (tests / visualization): legacy staged path
         lum = np.asarray(intensity(jnp.asarray(grid.color))) / 255.0
         albedo = grid.albedo
@@ -215,7 +264,8 @@ def estimate_svsh(
         return SVSHResult(subvolumes=sub, coeffs=np.asarray(coeffs))
 
     nbr4 = grid.neighbor_table(NORMAL_OFFSETS)
-    coeffs, nvalid = _estimate_full(
+    tab, origin = sub.cell_lookup()
+    coeffs, nvalid, vox_sh = _estimate_full(
         jnp.asarray(grid.sdf_refined),
         jnp.asarray(grid.valid_mask()),
         jnp.asarray(nbr4),
@@ -223,6 +273,10 @@ def estimate_svsh(
         jnp.asarray(grid.color, jnp.float32),
         jnp.asarray(subvol.astype(np.int32)),
         jnp.asarray(sub.neighbor_pairs()),
+        jnp.asarray(pts, jnp.float32),
+        jnp.asarray(tab),
+        jnp.asarray(origin, jnp.int32),
+        jnp.float32(sub.size),
         sub.count,
         weighted,
         jnp.float32(lambda_reg),
@@ -230,8 +284,11 @@ def estimate_svsh(
         jnp.float32(grid.truncation),
     )
     if int(nvalid) == 0:
-        return None
-    return SVSHResult(subvolumes=sub, coeffs=np.asarray(coeffs))
+        return (None, None) if with_voxel_sh else None
+    res = SVSHResult(subvolumes=sub, coeffs=np.asarray(coeffs))
+    if with_voxel_sh:
+        return res, np.asarray(vox_sh)
+    return res
 
 
 def voxel_sh_coeffs(

@@ -50,7 +50,11 @@ from intrinsic3d_tpu.grid.blocks import BlockLayout, pad_flat
 from intrinsic3d_tpu.grid.voxel_grid import VoxelGrid
 from intrinsic3d_tpu.lighting.sh import sh_basis
 from intrinsic3d_tpu.lighting.subvolumes import Subvolumes
-from intrinsic3d_tpu.lighting.svsh import SVSHResult, solve_block_system
+from intrinsic3d_tpu.lighting.svsh import (
+    SVSHResult,
+    solve_block_system,
+    trilerp_subvolumes,
+)
 from intrinsic3d_tpu.mathutil import sdf_to_weight
 from intrinsic3d_tpu.observations import compute_observations_batch
 from intrinsic3d_tpu.parallel.spmd import SpmdContext, _base_specs, _plan_spec, _strip_pad
@@ -104,35 +108,6 @@ def _block_normals(sdf_plan, sdf_pad, valid_pad):
     ok = (nb_valid > 0.0) & nonzero
     normals = jnp.where(ok[..., None], n / jnp.where(norm == 0.0, 1.0, norm), 0.0)
     return sh[c], normals, ok
-
-
-def _trilerp_subvolumes(coeffs, pts, cell_tab, cell_origin, sub_size):
-    """Device twin of `Subvolumes.interpolation` + `interpolate_values`:
-    −0.5 center offset, missing-neighbor weight zeroing, renormalization
-    (``subvolumes.cpp:164-208``). `pts [M, 3]`, returns `[M, 9]`."""
-    pos = pts / sub_size - 0.5
-    base = jnp.floor(pos)
-    frac = pos - base
-    offs = jnp.asarray(
-        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1],
-         [1, 1, 0], [0, 1, 1], [1, 0, 1], [1, 1, 1]],
-        jnp.int32,
-    )
-    corners = base.astype(jnp.int32)[:, None, :] + offs[None, :, :]  # [M, 8, 3]
-    w = jnp.prod(
-        jnp.where(offs[None, :, :] == 1, frac[:, None, :], 1.0 - frac[:, None, :]),
-        axis=-1,
-    )  # [M, 8]
-    idx3 = corners - jnp.asarray(cell_origin, jnp.int32)
-    dims = jnp.asarray(cell_tab.shape, jnp.int32)
-    inb = jnp.all((idx3 >= 0) & (idx3 < dims), axis=-1)
-    idx3c = jnp.clip(idx3, 0, dims - 1)
-    ids = jnp.where(inb, cell_tab[idx3c[..., 0], idx3c[..., 1], idx3c[..., 2]], -1)
-    w = jnp.where(ids >= 0, w, 0.0)
-    wsum = jnp.sum(w, axis=-1, keepdims=True)
-    w = jnp.where(wsum > 0.0, w / jnp.where(wsum == 0.0, 1.0, wsum), 0.0)
-    vals = coeffs[jnp.maximum(ids, 0)]  # [M, 8, 9]
-    return jnp.sum(vals * w[..., None], axis=1)
 
 
 def _bilinear_frame_rows(images, u, v):
@@ -326,7 +301,7 @@ class SpmdStages:
                 jnp.moveaxis(vpos, 0, -1).reshape(-1, 3).astype(jnp.float32)
                 * voxel_size
             )
-            cvox = _trilerp_subvolumes(coeffs, pts, cell_tab, cell_origin, sub_size)
+            cvox = trilerp_subvolumes(coeffs, pts, cell_tab, cell_origin, sub_size)
             inside = (valid.reshape(-1) > 0.0) & (jnp.abs(sdfr_f) <= thres_shell)
             vox_sh = jnp.where(inside[:, None], cvox, 0.0)  # [m·S, 9]
             vox_sh = jnp.moveaxis(vox_sh.reshape(m, s, 9), -1, 0)  # [9, m, S]

@@ -28,7 +28,7 @@ from intrinsic3d_tpu.grid import algorithms as alg
 from intrinsic3d_tpu.grid import ops as gops
 from intrinsic3d_tpu.grid.voxel_grid import NORMAL_OFFSETS, VoxelGrid
 from intrinsic3d_tpu.image.processing import resize_depth
-from intrinsic3d_tpu.lighting.svsh import estimate_svsh, voxel_sh_coeffs
+from intrinsic3d_tpu.lighting.svsh import estimate_svsh
 from intrinsic3d_tpu.mathutil import (
     compute_varying_lambda,
     invert_pose,
@@ -315,18 +315,21 @@ class Intrinsic3D:
                 # lighting estimation (``intrinsic3d.cpp:250-270``)
                 t0 = time.perf_counter()
                 self._write_back(grid, params)
-                svsh = estimate_svsh(
+                svsh, voxel_sh = estimate_svsh(
                     grid,
                     cfg.subvolume_size_sh,
                     cfg.subvolume_sh_lambda_reg,
                     thres_shell,
                     weighted=True,
+                    with_voxel_sh=True,  # interpolated on device in-program
+                )
+                record_phase(
+                    f"svsh_estimate[g{grid_lvl}p{rgbd_lvl}]", time.perf_counter() - t0
                 )
                 if svsh is None:
                     log.warning("lighting estimation failed on level %d", grid_lvl)
                     break
                 self.lighting = svsh
-                voxel_sh = voxel_sh_coeffs(svsh, grid, thres_shell)
                 record_phase(f"svsh[g{grid_lvl}p{rgbd_lvl}]", time.perf_counter() - t0)
                 log.info("   svsh + per-voxel coeffs: %.1fs", time.perf_counter() - t0)
 

@@ -279,3 +279,32 @@ def test_svsh_block_sparse_scales_to_thousands_of_subvolumes():
     )
     assert coeffs.shape == (S, 9)
     assert np.all(np.isfinite(coeffs))
+
+
+def test_estimate_svsh_device_interp_matches_host():
+    """`estimate_svsh(with_voxel_sh=True)` interpolates per-voxel SH on
+    device inside the estimation program; it must match the host-numpy
+    `voxel_sh_coeffs` (f32 position math vs the host's f64 — boundary-cell
+    weight flips are possible in principle but the field is continuous
+    there, so values agree tightly)."""
+    import dataclasses
+
+    from intrinsic3d_tpu.lighting.svsh import estimate_svsh, voxel_sh_coeffs
+    from intrinsic3d_tpu.synthetic import build_sphere_problem
+
+    prob = build_sphere_problem(
+        voxel_size=0.015, image_size=(64, 48), num_frames=2, num_observations=2,
+        perturb_sdf=0.002, perturb_albedo=0.05,
+    )
+    grid = prob.grid
+    grid.sdf_refined = np.asarray(prob.params.sdf).astype(np.float32)
+    grid.albedo = np.asarray(prob.params.albedo).astype(np.float32)
+    thres = prob.thres_shell
+
+    res, vox_dev = estimate_svsh(grid, 0.12, 10.0, thres, with_voxel_sh=True)
+    assert res is not None and vox_dev is not None
+    res2 = estimate_svsh(grid, 0.12, 10.0, thres)
+    np.testing.assert_array_equal(res.coeffs, res2.coeffs)
+
+    vox_host = voxel_sh_coeffs(res, grid, thres)
+    np.testing.assert_allclose(vox_dev, vox_host, rtol=1e-4, atol=1e-5)
