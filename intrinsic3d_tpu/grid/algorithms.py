@@ -207,7 +207,10 @@ _THIN_SHELL_DEVICE_MIN_VOXELS = 150_000
 
 
 def clear_voxels_outside_thin_shell(
-    grid: VoxelGrid, thres_shell: float, use_device: bool | None = None
+    grid: VoxelGrid,
+    thres_shell: float,
+    use_device: bool | None = None,
+    layout=None,
 ) -> VoxelGrid:
     """Keep (a) valid voxels with |sdf_refined| ≤ thres plus their stencil
     support, and (b) voxels with a zero-crossing in their 5³ neighborhood
@@ -215,14 +218,20 @@ def clear_voxels_outside_thin_shell(
 
     Large grids evaluate the keep predicate on device over the block-dense
     layout (`_thin_shell_mask_blocks` — identical result, no N×124 host
-    neighbor table); `use_device` forces either path (tests pin equality)."""
+    neighbor table); `use_device` forces either path (tests pin equality).
+    `layout` may supply this grid's (lo=2, hi=2) BlockLayout prebuilt in the
+    background (`UpsamplePrep`) — structure-only, so precomputable during
+    the preceding solve."""
     sdfr = grid.sdf_refined
     if use_device is None:
-        use_device = grid.num_voxels >= _THIN_SHELL_DEVICE_MIN_VOXELS
+        use_device = (
+            layout is not None or grid.num_voxels >= _THIN_SHELL_DEVICE_MIN_VOXELS
+        )
     if use_device:
         from intrinsic3d_tpu.grid.blocks import BlockLayout, pad_block
 
-        layout = BlockLayout.build(grid, lo=2, hi=2, halo_table=False)
+        if layout is None:
+            layout = BlockLayout.build(grid, lo=2, hi=2, halo_table=False)
         b = layout.block
         nb = layout.num_blocks
 
@@ -333,14 +342,17 @@ _UP_W8 = np.where(
 ).prod(axis=-1)  # [child c, corner k]
 
 
-def _upsample_fields(grid: VoxelGrid) -> dict:
+def _upsample_fields(grid: VoxelGrid, idx: np.ndarray | None = None) -> dict:
     """Field resampling for `upsample` using the shared-corner structure:
     ONE 8-neighbor lookup per parent (vs one per child — 8× fewer sorted-key
     searches, the dominant cost at pipeline scale) + the fixed `_UP_W8`
     weight table. Summation order over corners matches `interpolate_fields`.
+    `idx` may supply the `[N, 8]` parent-corner lookup precomputed in the
+    background (coords-only — `UpsamplePrep`).
     """
     parent = grid.coords.astype(np.int64)
-    idx = grid.lookup(parent[:, None, :] + _CORNER_OFFS[None, :, :])  # [N, 8]
+    if idx is None:
+        idx = grid.lookup(parent[:, None, :] + _CORNER_OFFS[None, :, :])  # [N, 8]
     valid = (idx >= 0) & (grid.weight[np.maximum(idx, 0)] > 0.0)
     w = np.where(valid[:, None, :], _UP_W8[None, :, :], 0.0)  # [N, c, k]
     cnt = valid.sum(axis=-1)  # same for all 8 children of a parent
@@ -384,25 +396,38 @@ def _upsample_fields(grid: VoxelGrid) -> dict:
     return out
 
 
-def upsample(grid: VoxelGrid) -> VoxelGrid:
+def upsample(grid: VoxelGrid, prep: "UpsamplePrep | None" = None) -> VoxelGrid:
     """2× refinement: each voxel spawns 8 children at half voxel size, fields
-    trilinearly resampled from the parent grid (``algorithms.cpp:202-237``)."""
-    parent = grid.coords.astype(np.int64)
-    child_coords = (2 * parent)[:, None, :] + _CORNER_OFFS[None, :, :]
-    child_coords = child_coords.reshape(-1, 3)
+    trilinearly resampled from the parent grid (``algorithms.cpp:202-237``).
 
-    fields = _upsample_fields(grid)
-    up = VoxelGrid.from_coords(
-        grid.voxel_size * 0.5,
-        child_coords,
-        grid.depth_min,
-        grid.depth_max,
-        sbr=grid.is_sbr,
-    )
-    # from_coords sorted by key; re-apply the same ordering to the fields
-    from intrinsic3d_tpu.grid.voxel_grid import pack_coords
+    `prep` may supply the coords-only structure (corner index table, child
+    grid skeleton, field reorder permutation) prebuilt in the background by
+    `UpsamplePrep` while the level's solve ran — fields are identical
+    (`np.argsort(kind="stable")` on the same keys, same lookup table)."""
+    if prep is not None:
+        prep.join()
+        if not prep.ok(grid):
+            prep = None
+    if prep is not None:
+        idx, up, order = prep.idx, prep.up, prep.order
+    else:
+        parent = grid.coords.astype(np.int64)
+        child_coords = (2 * parent)[:, None, :] + _CORNER_OFFS[None, :, :]
+        child_coords = child_coords.reshape(-1, 3)
+        idx = None
+        up = VoxelGrid.from_coords(
+            grid.voxel_size * 0.5,
+            child_coords,
+            grid.depth_min,
+            grid.depth_max,
+            sbr=grid.is_sbr,
+        )
+        # from_coords sorted by key; re-apply the same ordering to the fields
+        from intrinsic3d_tpu.grid.voxel_grid import pack_coords
 
-    order = np.argsort(pack_coords(child_coords), kind="stable")
+        order = np.argsort(pack_coords(child_coords), kind="stable")
+
+    fields = _upsample_fields(grid, idx=idx)
     up.sdf = fields["sdf"][order].astype(np.float32)
     up.weight = fields["weight"][order].astype(np.float32)
     up.color = fields["color"][order].astype(np.float32)
@@ -411,3 +436,88 @@ def upsample(grid: VoxelGrid) -> VoxelGrid:
         up.sdf_refined = fields["sdf_refined"][order].astype(np.float32)
     up.integration_weight_sample = grid.integration_weight_sample
     return up
+
+
+class UpsamplePrep:
+    """Coords-only level-boundary precompute, overlapped with the solve.
+
+    The serial chain at a grid-level boundary is
+    solve → recolor → ×2 `upsample` → `clear_voxels_outside_thin_shell`,
+    and the upsample/sparsify host structure — the parent-corner lookup
+    table, the child-grid skeleton + field reorder permutation, and the
+    child grid's (lo=2, hi=2) sparsify BlockLayout — depends ONLY on voxel
+    coords, which the solve and recolor never change. This thread builds all
+    of it (and warms the `_thin_shell_mask_blocks` program for the child
+    shapes) while the solver iterations run, taking those seconds off the
+    boundary's critical path (BENCH_NOTES round 4: upsample 3.4 s +
+    sparsify 3.5 s serial at the finest boundary).
+
+    Field resampling itself (which DOES need the solved `sdf_refined`) stays
+    in `upsample`; results are bitwise-identical with or without the prep.
+    """
+
+    def __init__(self, grid: VoxelGrid, warm_program: bool = True):
+        import threading
+
+        self.grid = grid
+        self.idx = None
+        self.up = None
+        self.order = None
+        self.layout = None
+        self._exc = None
+        self._warm = warm_program
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        try:
+            self._prepare()
+        except Exception as exc:  # noqa: BLE001 — prep must never kill a level
+            self._exc = exc
+            self.idx = self.up = self.order = self.layout = None
+
+    def _prepare(self):
+        grid = self.grid
+        parent = grid.coords.astype(np.int64)
+        self.idx = grid.lookup(parent[:, None, :] + _CORNER_OFFS[None, :, :])
+        child_coords = (2 * parent)[:, None, :] + _CORNER_OFFS[None, :, :]
+        child_coords = child_coords.reshape(-1, 3)
+        up = VoxelGrid.from_coords(
+            grid.voxel_size * 0.5,
+            child_coords,
+            grid.depth_min,
+            grid.depth_max,
+            sbr=grid.is_sbr,
+        )
+        from intrinsic3d_tpu.grid.voxel_grid import pack_coords
+
+        self.order = np.argsort(pack_coords(child_coords), kind="stable")
+        from intrinsic3d_tpu.grid.blocks import BlockLayout, pad_block
+
+        self.layout = BlockLayout.build(up, lo=2, hi=2, halo_table=False)
+        self.up = up
+        if self._warm:
+            # dummy zero-field call: drives trace + compile-cache load +
+            # remote program upload for the child shapes off the critical path
+            nb, b = self.layout.num_blocks, self.layout.block
+            z = pad_block(jnp.zeros((nb, b, b, b), jnp.float32))
+            out = _thin_shell_mask_blocks(
+                z, z, z, jnp.asarray(self.layout.nbr27), jnp.float32(0.0)
+            )
+            jax.block_until_ready(out)
+
+    def join(self) -> "UpsamplePrep":
+        self._thread.join()
+        return self
+
+    def ok(self, grid: VoxelGrid) -> bool:
+        """Usable for this parent grid? (same object, built without error)"""
+        return self._exc is None and self.grid is grid and self.up is not None
+
+    def layout_for(self, grid: VoxelGrid):
+        """The prebuilt sparsify BlockLayout, iff `grid` IS the child grid
+        this prep produced (the object `upsample(..., prep=self)` returned)."""
+        self.join()
+        if self._exc is None and self.up is grid:
+            return self.layout
+        return None

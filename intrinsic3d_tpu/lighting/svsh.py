@@ -213,6 +213,7 @@ def estimate_svsh(
     normals: Optional[np.ndarray] = None,
     normal_valid: Optional[np.ndarray] = None,
     with_voxel_sh: bool = False,
+    nbr4: Optional[np.ndarray] = None,
 ) -> Optional[SVSHResult]:
     """Estimate per-subvolume SH coefficients (``lighting_svsh.cpp:166-346``).
 
@@ -220,9 +221,16 @@ def estimate_svsh(
     interpolated coefficients `[N, 9]` computed ON DEVICE inside the same
     program (the production pipeline path; `voxel_sh_coeffs` remains the
     host-numpy equivalent for tests/visualization) — the return becomes
-    `(SVSHResult | None, vox_sh | None)`."""
+    `(SVSHResult | None, vox_sh | None)`. `nbr4` may supply the level's
+    `[N, 4]` normal-stencil table (`LevelTopology.nbr4_idx`) to skip
+    rebuilding it here."""
     if grid.num_voxels == 0 or thres_shell <= 0.0:
         return (None, None) if with_voxel_sh else None
+    import time
+
+    from intrinsic3d_tpu.timer import record_phase
+
+    t_host = time.perf_counter()
     pts = grid.voxel_to_world()
     sub = Subvolumes.compute(pts, subvolume_size)
     if sub.count == 0:
@@ -263,8 +271,14 @@ def estimate_svsh(
         )
         return SVSHResult(subvolumes=sub, coeffs=np.asarray(coeffs))
 
-    nbr4 = grid.neighbor_table(NORMAL_OFFSETS)
+    if nbr4 is None:
+        nbr4 = grid.neighbor_table(NORMAL_OFFSETS)
     tab, origin = sub.cell_lookup()
+    # host/device split telemetry: the host half is subvolume discovery +
+    # neighbor tables (numpy/native); the device half is the ONE
+    # (N, S, P)-keyed program incl. its transfer + (first call) program load
+    record_phase(f"svsh_host[v{grid.num_voxels}]", time.perf_counter() - t_host)
+    t_dev = time.perf_counter()
     coeffs, nvalid, vox_sh = _estimate_full(
         jnp.asarray(grid.sdf_refined),
         jnp.asarray(grid.valid_mask()),
@@ -283,7 +297,9 @@ def estimate_svsh(
         jnp.float32(thres_shell),
         jnp.float32(grid.truncation),
     )
-    if int(nvalid) == 0:
+    nvalid = int(nvalid)
+    record_phase(f"svsh_device[v{grid.num_voxels}]", time.perf_counter() - t_dev)
+    if nvalid == 0:
         return (None, None) if with_voxel_sh else None
     res = SVSHResult(subvolumes=sub, coeffs=np.asarray(coeffs))
     if with_voxel_sh:

@@ -68,6 +68,21 @@ class LevelTopology:
         )
 
 
+def level_topology(grid: VoxelGrid) -> LevelTopology:
+    """Memoized `LevelTopology.build` per grid object.
+
+    A grid object's coords are immutable (structural passes return NEW
+    objects), so the tables never go stale. The cache lets the `LevelPrep`
+    background thread build the ~2 s of finest-level tables OFF the critical
+    path while SVSH runs, with every later consumer — the static-build
+    fallback, subsequent pyramid levels, the mesh path — hitting the cache."""
+    topo = getattr(grid, "_topo_cache", None)
+    if topo is None:
+        topo = LevelTopology.build(grid)
+        grid._topo_cache = topo
+    return topo
+
+
 def chroma_weights(colors: np.ndarray, pairs: np.ndarray) -> np.ndarray:
     """Chromaticity-difference weights for albedo pairs
     (``albedo_regularizer.cpp:60-72``). colors are 0..255 RGB."""

@@ -42,11 +42,14 @@ path (kept as the equivalence oracle).
 from __future__ import annotations
 
 import functools
+import logging
 from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+log = logging.getLogger("intrinsic3d")
 
 from intrinsic3d_tpu.grid.blocks import BlockLayout, ShiftPlan, build_shift_plan, pad_flat
 from intrinsic3d_tpu.grid.voxel_grid import EG_ALBEDO_OFFSETS, EG_SDF_OFFSETS
@@ -652,6 +655,9 @@ def build_frame_buckets(
     occlusion: float = 0.0,
     depth_slack: float = 0.05,
     max_frames_per_block: int = 0,
+    max_blocks_per_frame: int = 0,
+    protect_cover: int = 0,
+    stats: Optional[dict] = None,
 ) -> np.ndarray:
     """Per-frame visible-block lists from block-AABB frustum projection.
 
@@ -681,6 +687,21 @@ def build_frame_buckets(
     approximation of the reference's per-voxel top-N over all K frames (the
     dropped frames are the block's worst views); exactness tests should
     leave it 0.
+
+    `max_blocks_per_frame` > 0 additionally trims each frame's bucket to at
+    most M blocks. This is the HARD budget backstop for the element grid
+    `[K, NBc, B³]`, whose bytes scale with the LARGEST per-frame bucket — a
+    cap on frames-per-block bounds the total pair count but not that
+    maximum (one central frame can sit in almost every block's top-M; at
+    pipeline scale this measured NBc = 95% of nb and the level's program
+    exceeded HBM at compile). Pair-drop priority: straddling blocks
+    (score ∞) are kept first, then blocks whose covering-frame count is
+    ≤ `protect_cover` (so every block keeps its per-voxel top-N support
+    wherever the frame cap left ≥ N frames — set it to `num_observations`),
+    then by view score; within the droppable pool the frame's most
+    REDUNDANTLY covered, most distant blocks go first, and the cover counts
+    update as frames are processed (largest excess first). `stats` (a dict)
+    receives `trimmed_pairs` / `uncovered_blocks`.
 
     Returns `bmap [K, NBc] int32` (padding = num_blocks, the pad row)."""
     from intrinsic3d_tpu.mathutil import pose_vec_to_matrix
@@ -735,7 +756,7 @@ def build_frame_buckets(
             keep = (keep & observable) | straddle
 
         buckets.append(np.flatnonzero(keep))
-        if max_frames_per_block > 0:
+        if max_frames_per_block > 0 or max_blocks_per_frame > 0:
             s = np.where(keep, 1.0 / np.maximum(0.5 * (z_lo + z_hi), 1e-3) ** 2, 0.0)
             scores.append(np.where(straddle, np.inf, s))
 
@@ -748,6 +769,51 @@ def build_frame_buckets(
         np.put_along_axis(rank, order, np.arange(len(buckets))[:, None], axis=0)
         keep_kb = (rank < m) & (sc > 0.0)
         buckets = [np.flatnonzero(keep_kb[k]) for k in range(len(buckets))]
+
+    if max_blocks_per_frame > 0:
+        sc = np.stack(scores, axis=0)  # [K, nb]
+        m = max_blocks_per_frame
+        cover = np.zeros(nb, np.int64)
+        for bk in buckets:
+            cover[bk] += 1
+        dropped = 0
+        excess = [max(0, len(bk) - m) for bk in buckets]
+        for k in np.argsort(-np.asarray(excess), kind="stable"):
+            bk = buckets[k]
+            if len(bk) <= m:
+                continue
+            s_k = sc[k, bk]
+            # keep priority (first m survive): straddle (∞ score) > blocks
+            # at/below the protected cover (their per-voxel top-N support is
+            # not redundant) > least-redundantly-covered > higher view
+            # score. np.lexsort: LAST key is primary.
+            straddle_k = np.isinf(s_k)
+            protected = (cover[bk] <= protect_cover) & ~straddle_k
+            keep_rank = np.lexsort(
+                (-s_k, cover[bk], (~protected).astype(np.int8),
+                 (~straddle_k).astype(np.int8))
+            )
+            keep = bk[keep_rank[:m]]
+            drop = bk[keep_rank[m:]]
+            cover[drop] -= 1
+            dropped += len(drop)
+            buckets[k] = np.sort(keep)
+        uncovered = int(nb - np.count_nonzero(cover))
+        if stats is not None:
+            stats["trimmed_pairs"] = dropped
+            stats["uncovered_blocks"] = uncovered
+        if dropped:
+            log.warning(
+                "  frame buckets: HBM budget trimmed %d (block, frame) pairs "
+                "to %d blocks/frame (cover-protected at %d frames/block); "
+                "%d/%d blocks lost all frames (regularizer-only there, as "
+                "reference voxels with no observations)",
+                dropped,
+                m,
+                protect_cover,
+                uncovered,
+                nb,
+            )
 
     nbc = max((len(bk) for bk in buckets), default=1)
     nbc = max(round_to, -(-max(nbc, 1) // round_to) * round_to)

@@ -36,7 +36,6 @@ from intrinsic3d_tpu.mathutil import (
     pose_vec_to_matrix,
 )
 from intrinsic3d_tpu.observations import collect_observations, recolor
-from intrinsic3d_tpu.refine.assembly import LevelTopology
 from intrinsic3d_tpu.refine.optimizer import LevelPrep, optimize_level
 from intrinsic3d_tpu.timer import record_phase
 from intrinsic3d_tpu.refine.residuals import Params
@@ -102,12 +101,11 @@ class Intrinsic3D:
         parallel/spmd.py), the SVSH lighting estimate + per-voxel SH
         interpolation, and the recolor sweep (parallel/spmd_stages.py), with
         voxel state held brick-sharded across the whole level loop
-        (refine/mesh_pipeline.py). Host-side numpy stages (×2 upsample,
-        thin-shell sparsify) run between grid levels on host RAM. The one
-        remaining single-device device stage is the INITIAL recolorization,
-        which runs once at the fused (coarsest) grid size before any level
-        loop — not in the memory-forced regime; TSDF fusion itself accepts
-        its own `mesh` (grid/fusion.py::FusionVolume)."""
+        (refine/mesh_pipeline.py), and the INITIAL recolorization at the
+        fused grid sharded through the same `SpmdStages.recolor` program
+        (`_initial_recolor_mesh`). Host-side numpy stages (×2 upsample,
+        thin-shell sparsify) run between grid levels on host RAM. TSDF
+        fusion itself accepts its own `mesh` (grid/fusion.py::FusionVolume)."""
         self.cfg = cfg
         self.sensor = sensor
         self.keyframe_ids = list(keyframe_ids)
@@ -177,12 +175,16 @@ class Intrinsic3D:
 
     # ------------------------------------------------------------------
 
-    def recompute_colors(self, grid: VoxelGrid, params: Params) -> None:
+    def recompute_colors(
+        self, grid: VoxelGrid, params: Params, nbr4: Optional[np.ndarray] = None
+    ) -> None:
         """Full observation resweep recoloring (``intrinsic3d.cpp:381-409``)
         as ONE jitted program per level shape (normals → iso-projection →
         observation collection → weighted recolor): the staged eager calls
-        cost dozens of dispatches/program loads per sweep on a remote link."""
-        nbr4 = grid.neighbor_table(NORMAL_OFFSETS)
+        cost dozens of dispatches/program loads per sweep on a remote link.
+        `nbr4` may pass the level's `[N, 4]` table (`LevelTopology.nbr4_idx`)."""
+        if nbr4 is None:
+            nbr4 = grid.neighbor_table(NORMAL_OFFSETS)
         cam = self.sensor.color_cam
         cols, has = _recolor_sweep(
             params.sdf,
@@ -202,6 +204,49 @@ class Intrinsic3D:
         cols = np.asarray(cols)
         has = np.asarray(has)
         grid.color = np.where(has[:, None], cols, grid.color).astype(np.float32)
+
+    def _initial_recolor_mesh(self, grid: VoxelGrid, params: Params) -> None:
+        """The initial recolorization (``intrinsic3d.cpp:214-217``) sharded
+        over `self.mesh` through the same `SpmdStages.recolor` program the
+        level loop uses — so under a mesh NO device stage concentrates the
+        full grid on one device, including this pre-level-loop sweep. Falls
+        back to the single-device sweep when the grid has no subvolume
+        partition (degenerate/empty scenes)."""
+        from intrinsic3d_tpu.grid.blocks import BlockLayout
+        from intrinsic3d_tpu.parallel.spmd import make_spmd_context
+        from intrinsic3d_tpu.parallel.spmd_stages import (
+            SpmdStages,
+            place_block_params,
+        )
+
+        layout = BlockLayout.build(
+            grid, blocks_multiple=max(8, self.mesh.devices.size), halo_table=False
+        )
+        ctx = make_spmd_context(layout, self.mesh)
+        stages = SpmdStages.build(
+            self.mesh,
+            ctx,
+            layout,
+            grid,
+            self.sensor.color_cam,
+            self.depths_lvl[0],
+            self.colors0,
+            self.cfg.subvolume_size_sh,
+            self.cfg.num_observations,
+            self.cfg.occlusion_distance,
+        )
+        if stages is None:
+            self.recompute_colors(grid, params)
+            return
+        bparams_s = place_block_params(self.mesh, layout, params)
+        color_bd = stages.stage_colors(grid.color)
+        color_bd, has_bd = stages.recolor(bparams_s, color_bd)
+        cols, has = stages.colors_to_table(color_bd, has_bd)
+        grid.color = np.where(has[:, None], cols, grid.color).astype(np.float32)
+        self.mesh_placements.append(
+            [("initial_recolor.color", int(color_bd.nbytes),
+              int(max(s.data.nbytes for s in color_bd.addressable_shards)))]
+        )
 
     def _write_back(self, grid: VoxelGrid, params: Params) -> None:
         grid.sdf_refined = np.asarray(params.sdf).astype(np.float32)
@@ -237,11 +282,15 @@ class Intrinsic3D:
         )
         log.info("   initial SDF recolorization ...")
         t0 = time.perf_counter()
-        self.recompute_colors(grid, params)
+        if self.mesh is not None:
+            self._initial_recolor_mesh(grid, params)
+        else:
+            self.recompute_colors(grid, params)
         record_phase("initial_recolor", time.perf_counter() - t0)
 
         mu = 1e-4
         coarsest = cfg.num_grid_levels - 1
+        bprep = None  # coords-only boundary precompute (alg.UpsamplePrep)
         for grid_lvl in range(coarsest, -1, -1):
             log.info("refinement on grid level %d (voxel %.4f, %d voxels)",
                      grid_lvl, grid.voxel_size, grid.num_voxels)
@@ -257,7 +306,12 @@ class Intrinsic3D:
             thres_shell = factor * grid.voxel_size
             if cfg.clear_distant_voxels:
                 t0 = time.perf_counter()
-                grid = alg.clear_voxels_outside_thin_shell(grid, thres_shell)
+                grid = alg.clear_voxels_outside_thin_shell(
+                    grid,
+                    thres_shell,
+                    layout=bprep.layout_for(grid) if bprep is not None else None,
+                )
+                bprep = None
                 record_phase(f"sparsify[g{grid_lvl}]", time.perf_counter() - t0)
                 log.info(
                     "   sparsified to %d voxels (%.1fs)",
@@ -272,15 +326,20 @@ class Intrinsic3D:
                     dist=params.dist,
                 )
 
-            topo = LevelTopology.build(grid)
+            # the full topology (4 stencil tables + E_a pairs, ~2 s at the
+            # finest level) is built lazily — in the LevelPrep background
+            # thread on the production path (refine.assembly.level_topology
+            # memoizes per grid object); the main thread only needs nbr4
+            nbr4 = grid.neighbor_table(NORMAL_OFFSETS)
 
             if self.mesh is not None:
                 # every device stage of the level loop sharded over the mesh
                 # (solver + SVSH + recolor; refine/mesh_pipeline.py)
+                from intrinsic3d_tpu.refine.assembly import level_topology
                 from intrinsic3d_tpu.refine.mesh_pipeline import MeshLevelRunner
 
                 runner = MeshLevelRunner(
-                    self, grid, topo, thres_shell, grid_lvl, coarsest
+                    self, grid, level_topology(grid), thres_shell, grid_lvl, coarsest
                 )
                 params, mu = runner.run(params, mu, self.cg_iters)
                 self.mesh_placements.append(runner.placement)
@@ -304,10 +363,10 @@ class Intrinsic3D:
                     continue
                 log.info("level %d (pyramid %d)", grid_lvl, rgbd_lvl)
                 if prep is None:
-                    # overlap the level's layout/static/bucket build and the
-                    # remote program load with the lighting estimate
+                    # overlap the level's topology/layout/static/bucket build
+                    # and the remote program load with the lighting estimate
                     prep = LevelPrep(
-                        grid, topo, params, cfg,
+                        grid, None, params, cfg,
                         self.depths_lvl[rgbd_lvl], self.intens_lvl[rgbd_lvl],
                         thres_shell, rgbd_lvl, self.cg_iters,
                     )
@@ -322,9 +381,7 @@ class Intrinsic3D:
                     thres_shell,
                     weighted=True,
                     with_voxel_sh=True,  # interpolated on device in-program
-                )
-                record_phase(
-                    f"svsh_estimate[g{grid_lvl}p{rgbd_lvl}]", time.perf_counter() - t0
+                    nbr4=nbr4,  # reuse the level's neighbor table
                 )
                 if svsh is None:
                     log.warning("lighting estimation failed on level %d", grid_lvl)
@@ -333,9 +390,15 @@ class Intrinsic3D:
                 record_phase(f"svsh[g{grid_lvl}p{rgbd_lvl}]", time.perf_counter() - t0)
                 log.info("   svsh + per-voxel coeffs: %.1fs", time.perf_counter() - t0)
 
+                if grid_lvl > 0 and (bprep is None or bprep.grid is not grid):
+                    # overlap the NEXT boundary's coords-only structure
+                    # (upsample tables + child sparsify layout/program) with
+                    # the solver iterations below (alg.UpsamplePrep)
+                    bprep = alg.UpsamplePrep(grid)
+
                 params, mu, _ = optimize_level(
                     grid,
-                    topo,
+                    None,  # topology resolved lazily (prep thread / memoized)
                     params,
                     cfg,
                     self.sensor.color_cam,
@@ -355,18 +418,18 @@ class Intrinsic3D:
                     # warm the next pyramid level's program while this level
                     # recolors and the next SVSH estimate runs
                     prep = LevelPrep(
-                        grid, topo, params, cfg,
+                        grid, None, params, cfg,
                         self.depths_lvl[next_r], self.intens_lvl[next_r],
                         thres_shell, next_r, self.cg_iters,
                         layout=used_layout, program_only=True,
-                    )
+                    )  # topo: level_topology cache hit when needed
                 else:
                     prep = None
 
                 # finish rgbd level (``intrinsic3d.cpp:353-378``)
                 t0 = time.perf_counter()
                 self._write_back(grid, params)
-                self.recompute_colors(grid, params)
+                self.recompute_colors(grid, params, nbr4=nbr4)
                 self._update_sensor(params)
                 record_phase(f"recolor[g{grid_lvl}p{rgbd_lvl}]", time.perf_counter() - t0)
                 log.info("   recolor + write-back: %.1fs", time.perf_counter() - t0)
@@ -387,7 +450,7 @@ class Intrinsic3D:
             if grid_lvl > 0:
                 t0 = time.perf_counter()
                 self._write_back(grid, params)
-                grid = alg.upsample(grid)
+                grid = alg.upsample(grid, prep=bprep)
                 record_phase(f"upsample[g{grid_lvl}]", time.perf_counter() - t0)
                 log.info("   upsampled x2: %.1fs", time.perf_counter() - t0)
                 params = Params(

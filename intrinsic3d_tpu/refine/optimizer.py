@@ -22,7 +22,11 @@ from intrinsic3d_tpu.config import RefinementConfig
 from intrinsic3d_tpu.grid.voxel_grid import VoxelGrid
 from intrinsic3d_tpu.mathutil import compute_varying_lambda, pyramid_level_to_scale
 from intrinsic3d_tpu.grid.blocks import BlockLayout
-from intrinsic3d_tpu.refine.assembly import LevelTopology, build_assembly
+from intrinsic3d_tpu.refine.assembly import (
+    LevelTopology,
+    build_assembly,
+    level_topology,
+)
 from intrinsic3d_tpu.refine.blockform import (
     build_frame_buckets,
     layout_plans,
@@ -48,6 +52,12 @@ log = logging.getLogger("intrinsic3d")
 # persistent fields). The live budget is queried from the device
 # (`eg_hbm_budget`) so other TPU generations get the right crossover.
 _EG_DENSE_BYTES_PER_ELEMENT = 720
+# the BUCKETED gn graph measured 595 B/element at the finest pipeline level
+# (16.49 GB compile at [K=10, NBc=5408, B³=512] elements, v5e); 640 keeps a
+# ~7% calibration margin. Used ONLY to size the hard per-frame trim — the
+# dense-calibrated 720 over-trims the bucket budget by ~12% (measured
+# quality: rms 0.570 mm at 720-sized trim vs 0.52-0.55 mm at 640)
+_EG_BUCKET_BYTES_PER_ELEMENT = 640
 _EG_DENSE_HBM_BUDGET_FALLBACK = 11e9
 # headroom reserved out of the queried device memory for everything that is
 # not E_g element temps: images, persistent parameter/static fields, and the
@@ -186,23 +196,44 @@ def plan_eg_layout(
         return None, "dense (full frame coverage, fits HBM)"
     bucket_bytes = k * fb.shape[1] * s * bytes_per_element
     if bucket_bytes > budget:
-        # exact buckets still too big: engage the per-block frame cap
-        # (tightest cap that still covers the per-voxel top-N) and halve
-        # the frustum margin
+        # exact buckets too big: ONE rebuild with (a) the per-block frame
+        # cap (tightest cap that still covers the per-voxel top-N) + halved
+        # frustum margin, and (b) the HARD per-frame budget backstop. The
+        # frame cap bounds total (block, frame) pairs but NOT the largest
+        # per-frame bucket, which is what the element grid [K, NBc, B³]
+        # actually scales with (one central frame can sit in nearly every
+        # block's top-M — measured NBc = 95% of nb at pipeline scale,
+        # compiling to 105% of HBM and crashing). The trim is
+        # cover-protected — a block keeps its per-voxel top-N frame support
+        # wherever the cap left ≥ N frames — and engages only when a
+        # frame's capped bucket exceeds b_max; without it the level's
+        # program OOMs at compile, so any approximation is strictly better
+        # than the alternative.
+        trim_bytes = min(bytes_per_element, _EG_BUCKET_BYTES_PER_ELEMENT)
+        b_max = int(budget // (k * s * trim_bytes))
+        b_max = max(8, (b_max // 8) * 8)
+        trim_stats: dict = {}
         fb = build_frame_buckets(
             **common,
             margin_px=0.08 * max(width, height),
             max_frames_per_block=min(cfg.num_observations + 1, k),
+            max_blocks_per_frame=b_max,
+            protect_cover=cfg.num_observations,
+            stats=trim_stats,
         )
-        bucket_bytes = k * fb.shape[1] * s * bytes_per_element
         reason += ", frame-capped"
-        if bucket_bytes > budget:
+        if trim_stats.get("trimmed_pairs", 0):
+            bucket_bytes = k * fb.shape[1] * s * trim_bytes
+            reason += f", trimmed to {b_max} blocks/frame"
             log.warning(
-                "  bucketed E_g elements still exceed the HBM budget "
-                "(%.1f GB > %.1f GB) after frame capping — expect OOM "
-                "pressure; reduce keyframes or image resolution",
+                "  bucketed E_g elements exceeded the HBM budget after "
+                "frame capping — per-frame buckets trimmed to %d blocks "
+                "(%.1f GB <= %.1f GB budget at the bucket-calibrated "
+                "%d B/element)",
+                b_max,
                 bucket_bytes / 1e9,
                 budget / 1e9,
+                int(trim_bytes),
             )
     return fb, reason
 
@@ -323,6 +354,7 @@ class LevelPrep:
 
         self.enabled = os.environ.get("I3D_PREFETCH", "1") != "0"
         self.layout = layout
+        self.topo = topo  # may be None: built in-thread (level_topology)
         self.st = None
         self.fb = None
         self.reason = ""
@@ -344,6 +376,7 @@ class LevelPrep:
             self.layout = None
             self.st = None
             self.fb = None
+            self.topo = None
 
     def _prepare(self):
         (grid, topo, params, cfg, depths_level, images_level, thres_shell,
@@ -371,6 +404,11 @@ class LevelPrep:
             # the dummy needs only shapes, which are fixed once fb is planned
             import threading
 
+            if topo is None:
+                # the neighbor tables also move OFF the critical path: the
+                # main thread only needs nbr4 (built separately for SVSH)
+                topo = level_topology(grid)
+            self.topo = topo
             st_box = {}
 
             def _build_st():
@@ -471,7 +509,7 @@ def _log_iter(stats: OptimizeStats, itr: int) -> None:
 
 def optimize_level(
     grid: VoxelGrid,
-    topo: LevelTopology,
+    topo: Optional[LevelTopology],
     params: Params,
     cfg: RefinementConfig,
     base_cam: Camera,
@@ -535,6 +573,11 @@ def optimize_level(
             eg_sh_np[:, layout.vox_slot] = np.asarray(voxel_sh, np.float32).T
             st = prep.st._replace(eg_sh=jnp.asarray(eg_sh_np))
         else:
+            if topo is None:
+                topo = (
+                    prep.topo if prep is not None and prep.topo is not None
+                    else level_topology(grid)
+                )
             st = build_level_static(layout, grid, topo, voxel_sh)
         sdf_plan, alb_plan = layout_plans(layout)
         bparams = params._replace(
@@ -667,6 +710,8 @@ def optimize_level(
                 h,
                 dist=params.dist,
             )
+            if topo is None:
+                topo = level_topology(grid)
             asm, masks = build_assembly(
                 grid,
                 topo,

@@ -391,3 +391,42 @@ def test_remove_loose_components():
     # all remaining vertices belong to the big sphere
     d1 = np.abs(np.linalg.norm(v2 - np.array([-0.07, 0, 0]), axis=-1) - 0.05)
     assert np.max(d1) < 2 * voxel_size
+
+
+def test_upsample_prep_bitwise_and_prebuilt_sparsify_layout():
+    """`alg.UpsamplePrep` (the coords-only boundary precompute overlapped
+    with the solve) must be invisible: upsample results bitwise-equal with
+    and without the prep, and `clear_voxels_outside_thin_shell` with the
+    prep's prebuilt child BlockLayout keeps the exact same voxel set."""
+    rng = np.random.default_rng(13)
+    coords = np.unique(rng.integers(-6, 6, size=(500, 3)).astype(np.int64), axis=0)
+    g = make_grid(coords.tolist(), voxel_size=0.01, sbr=True)
+    n = g.num_voxels
+    g.sdf = rng.normal(size=n).astype(np.float32) * 0.01
+    g.weight = np.where(rng.random(n) < 0.8, rng.random(n) * 5, 0.0).astype(np.float32)
+    g.color = rng.random((n, 3)).astype(np.float32)
+    g.albedo = rng.random(n).astype(np.float32)
+    g.sdf_refined = (rng.normal(size=n) * 0.01).astype(np.float32)
+
+    prep = alg.UpsamplePrep(g)
+    up_ref = alg.upsample(g)
+    up_pre = alg.upsample(g, prep=prep)
+    np.testing.assert_array_equal(up_pre.coords, up_ref.coords)
+    for f in ("sdf", "weight", "color", "albedo", "sdf_refined"):
+        np.testing.assert_array_equal(getattr(up_pre, f), getattr(up_ref, f), err_msg=f)
+
+    # prebuilt sparsify layout (identity-checked) → identical voxel set
+    assert prep.layout_for(up_ref) is None  # wrong grid object → refused
+    lay = prep.layout_for(up_pre)
+    assert lay is not None
+    a = alg.clear_voxels_outside_thin_shell(up_pre, 0.008, layout=lay)
+    b = alg.clear_voxels_outside_thin_shell(up_ref, 0.008, use_device=True)
+    np.testing.assert_array_equal(a.coords, b.coords)
+    np.testing.assert_array_equal(a.sdf_refined, b.sdf_refined)
+
+    # a prep for a DIFFERENT grid object is ignored by upsample
+    g2 = make_grid(coords.tolist(), voxel_size=0.01, sbr=True)
+    g2.sdf_refined = g.sdf_refined.copy()
+    g2.weight = g.weight.copy()
+    up2 = alg.upsample(g2, prep=prep)
+    np.testing.assert_array_equal(up2.coords, up_ref.coords)
