@@ -218,7 +218,7 @@ class MeshLevelRunner:
                 cg_iters=cg_iters,
                 ctx=self.ctx,
                 eg_sh_device=eg_sh_dev,
-                schur_globals=getattr(cfg, "schur_globals", False),
+                schur_globals=cfg.schur_globals,
             )
             log.info("   level setup: %.1fs", time.perf_counter() - t0)
             self._record("eg_sh", eg_sh_dev)

@@ -481,7 +481,7 @@ class LevelPrep:
             use_albedo=cfg.lambda_a >= 0.0,
             lm_steps=cfg.lm_steps,
             cg_iters=cg_iters,
-            schur_globals=getattr(cfg, "schur_globals", False),
+            schur_globals=cfg.schur_globals,
         )
         self.compiled = lowered.compile()
         marks.append(("dummy", time.perf_counter()))
@@ -677,7 +677,7 @@ def optimize_level(
                 bmap=fb,
                 lm_steps=cfg.lm_steps,
                 cg_iters=cg_iters,
-                schur_globals=getattr(cfg, "schur_globals", False),
+                schur_globals=cfg.schur_globals,
             )
             bparams_s = level_spmd.begin(bparams)
 
@@ -735,7 +735,7 @@ def optimize_level(
                     use_albedo=cfg.lambda_a >= 0.0,
                     lm_steps=cfg.lm_steps,
                     cg_iters=cg_iters,
-                    schur_globals=getattr(cfg, "schur_globals", False),
+                    schur_globals=cfg.schur_globals,
                 )
             bparams, cost0, cost1, mu, tries = out
         else:
@@ -778,7 +778,7 @@ def optimize_level(
                 mu,
                 cfg.lm_steps,
                 cg_iters,
-                schur_globals=getattr(cfg, "schur_globals", False),
+                schur_globals=cfg.schur_globals,
             )
         # defer the scalar pulls by ONE iteration: a host round trip stalls
         # the device ~24 ms per fetch on a remote link (BENCH_NOTES.md), so
