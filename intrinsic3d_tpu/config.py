@@ -254,6 +254,15 @@ class RefinementConfig:
     # the reduction is the production default; set False for the
     # Ceres-faithful joint solve.
     schur_globals: bool = True
+    # Pose-observability gate: a keyframe whose active E_g element count in
+    # an iteration is below this is frozen for that iteration (and
+    # intrinsics/distortion are frozen when the TOTAL count is below it).
+    # No reference equivalent — a robustness guard: a starved pose block is
+    # rank-deficient and the exact Schur global solve diverges along its
+    # null directions (measured 4.2 m on the golden sphere; see
+    # refine/device_assembly.py). 0 disables (Ceres-faithful). 24 = 6 DOF
+    # with 4x redundancy; healthy keyframes carry thousands of elements.
+    min_pose_obs: int = 24
 
     output_mesh_prefix: str = ""
     output_mesh_normals: bool = False
@@ -304,6 +313,7 @@ class RefinementConfig:
             fix_distortion=s.get_bool("fix_distortion", d.fix_distortion),
             frame_bucketing=s.get_str("frame_bucketing", d.frame_bucketing),
             schur_globals=s.get_bool("schur_globals", d.schur_globals),
+            min_pose_obs=s.get_int("min_pose_obs", d.min_pose_obs),
             output_mesh_prefix=s.get_str("output_mesh_prefix", d.output_mesh_prefix),
             output_mesh_normals=s.get_bool("output_mesh_normals", d.output_mesh_normals),
             output_mesh_laplacian=s.get_bool("output_mesh_laplacian", d.output_mesh_laplacian),

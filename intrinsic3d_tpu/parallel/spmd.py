@@ -531,6 +531,7 @@ class SpmdLevel:
         ctx: Optional[SpmdContext] = None,
         eg_sh_device: Optional[jnp.ndarray] = None,
         schur_globals: bool = False,
+        min_pose_obs: int = 0,
     ):
         """`eg_sh_device` overrides the per-voxel SH coefficients of
         `st.eg_sh` with an already-on-mesh `[9, nb, B³]` array (the sharded
@@ -628,6 +629,7 @@ class SpmdLevel:
                 use_albedo=use_albedo,
                 bmap=bmap_loc[0] if bucketed else None,
                 axis_name=axis,
+                min_pose_obs=min_pose_obs,
             )
             out_p, c0, c1, mu2, tries = gn_iteration(
                 bp,

@@ -121,6 +121,7 @@ def build_assembly(
     fix_poses: bool = False,
     fix_intrinsics: bool = False,
     fix_distortion: bool = False,
+    min_pose_obs: int = 0,
 ) -> Tuple[Assembly, Masks]:
     n = grid.num_voxels
     sdfr = np.asarray(params.sdf)
@@ -244,14 +245,28 @@ def build_assembly(
 
     # --- parameter masks (``optimizer.cpp:285-361``) ------------------------
     free_vox = in_shell & ring_ok
+    pose_row = np.full((params.poses.shape[0], 6), 0.0 if fix_poses else 1.0, np.float32)
+    intr_row = np.full((4,), 0.0 if fix_intrinsics else 1.0, np.float32)
+    dist_row = np.full((5,), 0.0 if fix_distortion else 1.0, np.float32)
+    if min_pose_obs > 0 and not fix_poses:
+        # pose-observability gate — same robustness guard as the device
+        # assembly (refine/device_assembly.py): freeze starved pose blocks
+        fr = np.asarray(asm.eg_frame)
+        nobs = np.bincount(
+            fr[eg_w > 0.0], minlength=params.poses.shape[0]
+        )
+        pose_row = pose_row * (nobs >= min_pose_obs).astype(np.float32)[:, None]
+        total_ok = np.float32(1.0 if nobs.sum() >= min_pose_obs else 0.0)
+        intr_row = intr_row * total_ok
+        dist_row = dist_row * total_ok
     masks = Masks(
         sdf=jnp.asarray(free_vox.astype(np.float32)),
         albedo=jnp.asarray(
             (free_vox & (lambda_a >= 0.0)).astype(np.float32)
         ),
-        poses=jnp.full((params.poses.shape[0], 6), 0.0 if fix_poses else 1.0),
-        intr=jnp.full((4,), 0.0 if fix_intrinsics else 1.0),
-        dist=jnp.full((5,), 0.0 if fix_distortion else 1.0),
+        poses=jnp.asarray(pose_row),
+        intr=jnp.asarray(intr_row),
+        dist=jnp.asarray(dist_row),
     )
     return asm, masks
 

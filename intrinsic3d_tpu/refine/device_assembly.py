@@ -150,6 +150,7 @@ def _stage_static(occ, valid, vpos, es_ref, eg_sh, ea_chroma) -> LevelStatic:
         "fix_distortion",
         "use_albedo",
         "axis_name",
+        "min_pose_obs",
     ),
 )
 def device_assembly(
@@ -174,6 +175,7 @@ def device_assembly(
     use_albedo: bool = True,
     bmap: jnp.ndarray | None = None,  # [K, NBc] frame buckets (blockform)
     axis_name: str | None = None,
+    min_pose_obs: int = 0,
 ) -> Tuple[BlockAssembly, Masks]:
     """One fully-jitted relinearization assembly (zero host round trips).
 
@@ -367,11 +369,37 @@ def device_assembly(
     # --- free-parameter masks (``optimizer.cpp:285-361``) --------------------
     free_vox = jnp.where(in_shell & ring_ok, 1.0, 0.0)
     free_pad = pad_flat(free_vox)
+    pose_row = jnp.full((params.poses.shape[0], 6), 0.0 if fix_poses else 1.0)
+    intr_row = jnp.full((4,), 0.0 if fix_intrinsics else 1.0)
+    dist_row = jnp.full((5,), 0.0 if fix_distortion else 1.0)
+    if min_pose_obs > 0 and not fix_poses:
+        # Pose-observability gate (no reference equivalent — robustness guard
+        # over Ceres semantics): a keyframe whose active E_g element count
+        # this iteration is below `min_pose_obs` has its 6-DOF pose block
+        # frozen (kept at its previous value). Rationale: when observation
+        # re-collection starves a frame (e.g. pose drift beyond the occlusion
+        # gate), its pose Gram block becomes rank-deficient and the exact
+        # Schur solve of the global block amplifies the rhs along
+        # small-Jacobian directions by 1/|J_i| — measured as a 4.2 m pose
+        # jump on the golden sphere scene, accepted by LM because an
+        # out-of-frustum camera zeroes its own residuals
+        # (``cost.h:45`` NV_INVALID_RESIDUAL semantics). Freezing matches the
+        # joint-CGNR path's implicit Krylov regularization and Ceres'
+        # behavior for parameter blocks with no residuals.
+        nobs = jnp.sum((eg_w > 0.0).reshape(kframes, -1), axis=-1)
+        if axis_name is not None:
+            nobs = jax.lax.psum(nobs, axis_name)
+        pose_row = pose_row * (nobs >= min_pose_obs).astype(pose_row.dtype)[:, None]
+        # intrinsics/distortion couple through the SAME starved columns: if
+        # the TOTAL active count cannot determine them, freeze them too
+        total_ok = (jnp.sum(nobs) >= min_pose_obs).astype(jnp.float32)
+        intr_row = intr_row * total_ok
+        dist_row = dist_row * total_ok
     masks = Masks(
         sdf=free_pad,
         albedo=free_pad if use_albedo else jnp.zeros_like(free_pad),
-        poses=jnp.full((params.poses.shape[0], 6), 0.0 if fix_poses else 1.0),
-        intr=jnp.full((4,), 0.0 if fix_intrinsics else 1.0),
-        dist=jnp.full((5,), 0.0 if fix_distortion else 1.0),
+        poses=pose_row,
+        intr=intr_row,
+        dist=dist_row,
     )
     return asm, masks

@@ -219,6 +219,7 @@ class MeshLevelRunner:
                 ctx=self.ctx,
                 eg_sh_device=eg_sh_dev,
                 schur_globals=cfg.schur_globals,
+                min_pose_obs=cfg.min_pose_obs,
             )
             log.info("   level setup: %.1fs", time.perf_counter() - t0)
             self._record("eg_sh", eg_sh_dev)

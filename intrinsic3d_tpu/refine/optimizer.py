@@ -251,6 +251,7 @@ def plan_eg_layout(
         "lm_steps",
         "cg_iters",
         "schur_globals",
+        "min_pose_obs",
     ),
 )
 def _fused_outer_step(
@@ -279,6 +280,7 @@ def _fused_outer_step(
     lm_steps,
     cg_iters,
     schur_globals=False,
+    min_pose_obs=0,
 ):
     """Device assembly + damped-GN step as ONE program.
 
@@ -308,6 +310,7 @@ def _fused_outer_step(
         fix_distortion=fix_distortion,
         use_albedo=use_albedo,
         bmap=bmap,
+        min_pose_obs=min_pose_obs,
     )
     return gn_iteration(
         bparams, basm, bmasks, mu, lm_steps, cg_iters, schur_globals=schur_globals
@@ -482,6 +485,7 @@ class LevelPrep:
             lm_steps=cfg.lm_steps,
             cg_iters=cg_iters,
             schur_globals=cfg.schur_globals,
+            min_pose_obs=cfg.min_pose_obs,
         )
         self.compiled = lowered.compile()
         marks.append(("dummy", time.perf_counter()))
@@ -678,6 +682,7 @@ def optimize_level(
                 lm_steps=cfg.lm_steps,
                 cg_iters=cg_iters,
                 schur_globals=cfg.schur_globals,
+                min_pose_obs=cfg.min_pose_obs,
             )
             bparams_s = level_spmd.begin(bparams)
 
@@ -736,6 +741,7 @@ def optimize_level(
                     lm_steps=cfg.lm_steps,
                     cg_iters=cg_iters,
                     schur_globals=cfg.schur_globals,
+                    min_pose_obs=cfg.min_pose_obs,
                 )
             bparams, cost0, cost1, mu, tries = out
         else:
@@ -770,6 +776,7 @@ def optimize_level(
                 cfg.fix_poses,
                 cfg.fix_intrinsics,
                 cfg.fix_distortion,
+                min_pose_obs=cfg.min_pose_obs,
             )
             params, cost0, cost1, mu, tries = gn_iteration(
                 params,

@@ -188,6 +188,36 @@ def test_fused_mesh_golden(pipeline, tmp_path):
     assert ch["symmetric_mean"] < 0.1 * vol.voxel_size
 
 
+def assert_poses_sane(root: str, num_frames: int, bound_m: float) -> None:
+    """Golden-time sanity: refined poses must stay within `bound_m` of the
+    dataset's analytic orbit ground truth (ADVICE r4: a silent regen must
+    not be able to pin a diverged pose solve — the round-3/4 goldens pinned
+    a keyframe 1.1 m / 4.2 m off the orbit before the pose-observability
+    gate, refine/device_assembly.py). Runs on every suite pass, with or
+    without I3D_GOLDEN_REGEN."""
+    poses, _ = load_poses(os.path.join(root, "intrinsic3d/poses_g0_p0.txt"))
+    assert len(poses) == num_frames
+    errs = []
+    for i, T in enumerate(poses):
+        gt = np.loadtxt(os.path.join(root, "rgbd", f"frame-{i:06d}.pose.txt"))
+        errs.append(float(np.linalg.norm(T[:3, 3] - gt[:3, 3])))
+    worst = max(errs)
+    assert worst < bound_m, (
+        f"refined pose diverged from the analytic orbit: max center error "
+        f"{worst:.3f} m >= {bound_m} m (per-frame: {np.round(errs, 4)})"
+    )
+
+
+def test_refined_poses_within_orbit_bound(pipeline):
+    root, synthetic, _ = pipeline
+    if not synthetic:
+        pytest.skip("analytic orbit ground truth only exists for the synthetic scene")
+    from intrinsic3d_tpu.io.golden_dataset import GoldenSceneSpec
+
+    # measured post-gate band: keyframes 0.035-0.103 m, non-keyframes exact
+    assert_poses_sane(root, GoldenSceneSpec().num_frames, bound_m=0.2)
+
+
 def test_refined_poses_and_intrinsics_golden(pipeline, tmp_path):
     root, _, golden_dir = pipeline
     poses, ts = load_poses(os.path.join(root, "intrinsic3d/poses_g0_p0.txt"))

@@ -112,6 +112,17 @@ def test_mid_refined_meshes_golden(pipeline_mid, tmp_path, rel):
     assert ch["symmetric_mean"] < 0.2 * voxel
 
 
+def test_mid_poses_within_orbit_bound(pipeline_mid):
+    from tests.test_golden import assert_poses_sane
+
+    root, spec = pipeline_mid
+    # measured post-gate band (see tests/test_golden.py::assert_poses_sane);
+    # the mid scene's worst keyframe sits ~0.37 m off the orbit (a coarse-
+    # level drift this bound tolerates) — the guard is against the
+    # meters-scale starved-pose divergence the gate prevents
+    assert_poses_sane(root, spec.num_frames, bound_m=0.5)
+
+
 def test_mid_poses_golden(pipeline_mid, tmp_path):
     root, _ = pipeline_mid
     poses, _ = load_poses(os.path.join(root, "intrinsic3d/poses_g0_p0.txt"))
