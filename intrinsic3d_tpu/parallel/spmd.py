@@ -532,6 +532,7 @@ class SpmdLevel:
         eg_sh_device: Optional[jnp.ndarray] = None,
         schur_globals: bool = False,
         min_pose_obs: int = 0,
+        eg_chunks: int = 1,
     ):
         """`eg_sh_device` overrides the per-voxel SH coefficients of
         `st.eg_sh` with an already-on-mesh `[9, nb, B³]` array (the sharded
@@ -641,6 +642,7 @@ class SpmdLevel:
                 cg_coeff_dtype=cg_coeff_dtype,
                 axis_name=axis,
                 schur_globals=schur_globals,
+                eg_chunks=eg_chunks,
             )
             out_p = out_p._replace(
                 sdf=_strip_pad(out_p.sdf), albedo=_strip_pad(out_p.albedo)

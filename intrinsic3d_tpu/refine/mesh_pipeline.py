@@ -176,7 +176,9 @@ class MeshLevelRunner:
                 device=False,
             )
             poses_np = np.asarray(bparams_s.poses)
-            fb, reason = plan_eg_layout(
+            from intrinsic3d_tpu.refine.optimizer import eg_hbm_budget
+
+            fb, reason, eg_chunks = plan_eg_layout(
                 self.layout,
                 poses_np,
                 np.asarray(bparams_s.intr, np.float64) * pyr_scale,
@@ -186,6 +188,10 @@ class MeshLevelRunner:
                 grid.voxel_size,
                 self.thres_shell,
                 np.asarray(depths_level),
+                # element fields shard ~1/n per device on the mesh (measured
+                # S/n + 0.15 GB, tools/bench_spmd_memory.py) — the memory
+                # gate scales with the mesh instead of one chip
+                budget=eg_hbm_budget() * self.mesh.devices.size,
             )
             if fb is not None:
                 log.info(
@@ -220,6 +226,7 @@ class MeshLevelRunner:
                 eg_sh_device=eg_sh_dev,
                 schur_globals=cfg.schur_globals,
                 min_pose_obs=cfg.min_pose_obs,
+                eg_chunks=eg_chunks,
             )
             log.info("   level setup: %.1fs", time.perf_counter() - t0)
             self._record("eg_sh", eg_sh_dev)

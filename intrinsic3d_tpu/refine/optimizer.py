@@ -58,6 +58,29 @@ _EG_DENSE_BYTES_PER_ELEMENT = 720
 # dense-calibrated 720 over-trims the bucket budget by ~12% (measured
 # quality: rms 0.570 mm at 720-sized trim vs 0.52-0.55 mm at 640)
 _EG_BUCKET_BYTES_PER_ELEMENT = 640
+# chunked-streaming mode (linearize_block_chunked) memory model:
+#     peak ≈ max(el·ASSEMBLY,  el·PERSIST + ceil(K/C)·el_frame·TRANSIENT)
+# Calibration (tools/bench_chunked_memory.py): XLA:CPU buffer assignment at
+# bench scale (1.9M exact-coverage elements, K=8) measured total temps
+# 1862 B/el one-shot → 536 B/el floor from C=4 (un-chunkable assembly +
+# PCG/persistent fields) with a 1515 B/el-frame chunk-transient slope.
+# XLA:CPU materializes ~3x more than the TPU backend (TPU measured
+# 595 B/el for the one-shot bucketed graph vs CPU's 1862), so the CPU
+# numbers are safe UPPER bounds; the constants below sit between the
+# TPU-scaled expectation and the CPU bound — over-estimating only costs
+# extra (cheap) chunks, never an OOM. Re-calibrate on the chip with
+#   JAX_PLATFORMS=axon python tools/bench_chunked_memory.py --voxel 0.0012 \
+#       --size 640x480 --frames 10 --chunks 1,2,5
+_EG_CHUNK_PERSIST_BYTES = 200
+# per-element bytes of the PER-CHUNK linearize/acceptance transients (the
+# stencil/vjp temporaries the streaming bounds), applied to one chunk's
+# ceil(K/C)·NBc·B³ elements
+_EG_CHUNK_TRANSIENT_BYTES = 520
+# per-element bytes of the assembly phase (observation weights, global top-N
+# rank argsorts, validity probe) — NOT chunk-reducible (the per-voxel top-N
+# ranks over all K frames at once); if this alone exceeds the budget the
+# plan falls back to the hard trim
+_EG_ASSEMBLY_BYTES = 200
 _EG_DENSE_HBM_BUDGET_FALLBACK = 11e9
 # headroom reserved out of the queried device memory for everything that is
 # not E_g element temps: images, persistent parameter/static fields, and the
@@ -119,12 +142,18 @@ def plan_eg_layout(
     *,
     budget: Optional[float] = None,
     bytes_per_element: float = _EG_DENSE_BYTES_PER_ELEMENT,
-) -> tuple[Optional[np.ndarray], str]:
+) -> tuple[Optional[np.ndarray], str, int]:
     """Choose the E_g element layout for one (grid, pyramid) level.
 
-    Returns ``(bmap, reason)``: ``bmap=None`` keeps the dense frame-major
-    `[K, nb, B³]` element grid; otherwise ``bmap [K, NBc]`` selects the
-    frame-bucketed layout (``blockform.build_frame_buckets``).
+    Returns ``(bmap, reason, eg_chunks)``: ``bmap=None`` keeps the dense
+    frame-major `[K, nb, B³]` element grid; otherwise ``bmap [K, NBc]``
+    selects the frame-bucketed layout (``blockform.build_frame_buckets``).
+    ``eg_chunks > 1`` streams the linearization/acceptance over that many
+    frame chunks (``blockform.linearize_block_chunked``) — engaged when the
+    exact layout exceeds the HBM budget but streaming makes it fit, so the
+    reference's per-voxel top-N over ALL frames survives
+    (``colorization.cpp:357-370``); the hard per-frame trim remains the last
+    resort when even 1-frame chunks cannot fit.
 
     Decision rules (testable in isolation by pinning `budget`):
 
@@ -153,7 +182,7 @@ def plan_eg_layout(
       points sit up to `thres_shell` outside the block AABB.
     """
     if getattr(cfg, "frame_bucketing", "auto") == "never":
-        return None, "dense (bucketing disabled)"
+        return None, "dense (bucketing disabled)", 1
     if budget is None:
         budget = eg_hbm_budget()
     k = int(poses.shape[0])
@@ -191,11 +220,39 @@ def plan_eg_layout(
             **common, margin_px=0.15 * max(width, height), max_frames_per_block=cap
         )
         if 2 * fbc.shape[1] <= nb:
-            return fbc, f"speed, frame-capped at {cap} (opt-in)"
+            return fbc, f"speed, frame-capped at {cap} (opt-in)", 1
     if not (cfg.frame_bucketing == "always" or win_speed or win_memory):
-        return None, "dense (full frame coverage, fits HBM)"
+        return None, "dense (full frame coverage, fits HBM)", 1
     bucket_bytes = k * fb.shape[1] * s * bytes_per_element
     if bucket_bytes > budget:
+        # exact buckets too big for the one-shot layout: FIRST try streaming
+        # the exact layout over frame chunks (VERDICT r4 item 1 — coverage
+        # must not pay for memory): only the compact bf16 coefficient fields
+        # persist through the PCG while the linearize/acceptance transients
+        # are bounded at one chunk's worth. Feasible when the un-chunkable
+        # assembly phase and the persistent fields both fit.
+        el = k * fb.shape[1] * s
+        persist = el * _EG_CHUNK_PERSIST_BYTES
+        assembly = el * _EG_ASSEMBLY_BYTES
+        per_frame_t = fb.shape[1] * s * _EG_CHUNK_TRANSIENT_BYTES
+        if persist < budget and assembly <= budget:
+            f_max = int((budget - persist) // per_frame_t)
+            if f_max >= 1:
+                chunks = -(-k // f_max)
+                if chunks > 1:
+                    log.info(
+                        "  E_g exact layout streamed in %d frame chunks "
+                        "(%.1f GB persistent + %.1f GB/chunk transient + "
+                        "%.1f GB assembly <= %.1f GB budget; full %d-block "
+                        "coverage kept)",
+                        chunks,
+                        persist / 1e9,
+                        min(f_max, k) * per_frame_t / 1e9,
+                        assembly / 1e9,
+                        budget / 1e9,
+                        fb.shape[1],
+                    )
+                    return fb, reason + f", streamed in {chunks} chunks", chunks
         # exact buckets too big: ONE rebuild with (a) the per-block frame
         # cap (tightest cap that still covers the per-voxel top-N) + halved
         # frustum margin, and (b) the HARD per-frame budget backstop. The
@@ -235,7 +292,7 @@ def plan_eg_layout(
                 budget / 1e9,
                 int(trim_bytes),
             )
-    return fb, reason
+    return fb, reason, 1
 
 
 @functools.partial(
@@ -252,6 +309,7 @@ def plan_eg_layout(
         "cg_iters",
         "schur_globals",
         "min_pose_obs",
+        "eg_chunks",
     ),
 )
 def _fused_outer_step(
@@ -281,6 +339,7 @@ def _fused_outer_step(
     cg_iters,
     schur_globals=False,
     min_pose_obs=0,
+    eg_chunks=1,
 ):
     """Device assembly + damped-GN step as ONE program.
 
@@ -313,7 +372,8 @@ def _fused_outer_step(
         min_pose_obs=min_pose_obs,
     )
     return gn_iteration(
-        bparams, basm, bmasks, mu, lm_steps, cg_iters, schur_globals=schur_globals
+        bparams, basm, bmasks, mu, lm_steps, cg_iters,
+        schur_globals=schur_globals, eg_chunks=eg_chunks,
     )
 
 
@@ -362,6 +422,7 @@ class LevelPrep:
         self.fb = None
         self.compiled = None  # AOT-compiled `_fused_outer_step` executable
         self.reason = ""
+        self.eg_chunks = 1
         self._exc = None
         self._program_only = program_only
         self._args = (grid, topo, params, cfg, depths_level, images_level,
@@ -382,6 +443,7 @@ class LevelPrep:
             self.fb = None
             self.topo = None
             self.compiled = None
+            self.eg_chunks = 1
 
     def _prepare(self):
         (grid, topo, params, cfg, depths_level, images_level, thres_shell,
@@ -394,7 +456,7 @@ class LevelPrep:
             self.layout = BlockLayout.build(grid, halo_table=False)
         layout = self.layout
         marks.append(("layout", time.perf_counter()))
-        self.fb, self.reason = plan_eg_layout(
+        self.fb, self.reason, self.eg_chunks = plan_eg_layout(
             layout,
             np.asarray(params.poses),
             np.asarray(params.intr, np.float64) * pyr_scale,
@@ -486,6 +548,7 @@ class LevelPrep:
             cg_iters=cg_iters,
             schur_globals=cfg.schur_globals,
             min_pose_obs=cfg.min_pose_obs,
+            eg_chunks=self.eg_chunks,
         )
         self.compiled = lowered.compile()
         marks.append(("dummy", time.perf_counter()))
@@ -620,10 +683,11 @@ def optimize_level(
         # finest grid level at production scale: ~700 B/element through the
         # jitted gn_iteration graph, measured on v5e at 1.05M voxels).
         bmap = None
+        eg_chunks = 1
         if prep is not None and (prep.fb is not None or prep.st is not None):
-            fb, reason = prep.fb, prep.reason
+            fb, reason, eg_chunks = prep.fb, prep.reason, prep.eg_chunks
         else:
-            fb, reason = plan_eg_layout(
+            fb, reason, eg_chunks = plan_eg_layout(
                 layout,
                 np.asarray(params.poses),
                 np.asarray(params.intr, np.float64) * pyr_scale,
@@ -742,6 +806,7 @@ def optimize_level(
                     cg_iters=cg_iters,
                     schur_globals=cfg.schur_globals,
                     min_pose_obs=cfg.min_pose_obs,
+                    eg_chunks=eg_chunks,
                 )
             bparams, cost0, cost1, mu, tries = out
         else:

@@ -206,7 +206,7 @@ def _pcg(matvec, precond, b: Params, iters: int, eta: float = 0.1, tdot=_tdot):
     jax.jit,
     static_argnames=(
         "lm_steps", "cg_iters", "cg_coeff_dtype", "axis_name", "schur_globals",
-        "cg_eta",
+        "cg_eta", "eg_chunks",
     ),
 )
 def gn_iteration(
@@ -220,6 +220,7 @@ def gn_iteration(
     axis_name: Optional[str] = None,
     schur_globals: bool = False,
     cg_eta: float = 0.1,
+    eg_chunks: int = 1,
 ) -> Tuple[Params, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One relinearize→solve→accept cycle (the body of the reference's outer
     iteration, ``optimizer.cpp:119-173`` + ``nls_solver.cpp:296-337``).
@@ -235,20 +236,36 @@ def gn_iteration(
     global reductions (cost scalars, pose/intrinsics/distortion gradients and
     GN products, PCG inner products) psum over the named axis.
 
+    `eg_chunks > 1` (block path only) STREAMS the E_g linearization and the
+    LM acceptance forward over frame chunks
+    (`blockform.linearize_block_chunked` / `block_total_cost`): transients
+    are bounded at `ceil(K/eg_chunks)` frames' worth of element temps while
+    only the compact coefficient fields (in `cg_coeff_dtype`) persist
+    through the PCG — the memory-forced finest level keeps the reference's
+    exact per-voxel top-N over ALL frames (``colorization.cpp:357-370``)
+    instead of trimming observation coverage. The gradient/diagonal/global
+    Gram are then derived from the cast fields (f32-accumulated).
+
     Returns (params', cost_before, cost_after, mu', num_tries).
     """
     tdot, psum_globals, psum_scalar = _make_spmd(axis_name)
+    chunked = eg_chunks > 1 and isinstance(asm, blockform.BlockAssembly)
     if isinstance(asm, blockform.BlockAssembly):
         # hand-rolled linearization: ONE reverse pass for the E_g element
         # Jacobian, dense frame-major (keyframe, slot) coefficient fields, and a matvec that is
         # pure dense math + one-hot matmuls (see blockform.BlockLin)
-        cost0, lin = blockform.linearize_block(params, asm)
+        if chunked:
+            cost0, lin = blockform.linearize_block_chunked(
+                params, asm, eg_chunks, jnp.dtype(cg_coeff_dtype)
+            )
+        else:
+            cost0, lin = blockform.linearize_block(params, asm)
         cost0 = psum_scalar(cost0)
         grad = psum_globals(
             blockform.jtv_block(lin, asm, (lin.r0_g, lin.r0_r, lin.r0_s, lin.r0_a))
         )
         diag = psum_globals(blockform.diag_from_lin(lin, asm))
-        if cg_coeff_dtype != "float32":
+        if not chunked and cg_coeff_dtype != "float32":
             lin = blockform.cast_lin(lin, jnp.dtype(cg_coeff_dtype))
         jlin = lambda v: blockform.jv_block(lin, asm, v)  # noqa: E731
         jt = lambda y: (psum_globals(blockform.jtv_block(lin, asm, y)),)  # noqa: E731
@@ -263,6 +280,15 @@ def gn_iteration(
     # convert to Params so tree_maps see one pytree type
     masks = Params(*(m * (d > 0.0) for m, d in zip(masks, diag)))
     b = _mask(masks, _tmap(lambda g: -g, grad))
+
+    if chunked:
+        cost_of = lambda cand: psum_scalar(  # noqa: E731
+            blockform.block_total_cost(cand, asm, eg_chunks)
+        )
+    else:
+        cost_of = lambda cand: psum_scalar(  # noqa: E731
+            0.5 * jnp.sum(jnp.square(residual_stack(cand, asm)))
+        )
 
     if schur_globals and isinstance(asm, blockform.BlockAssembly):
         # Schur-complement out the dense global block {poses, intr, dist}
@@ -371,7 +397,7 @@ def gn_iteration(
             )
             dp, di_, dd = blockform.unflatten_globals(csolve(bg - zv), k)
             cand = _tmap(lambda p, d: p + d, params, Params(ds, da, dp, di_, dd))
-            cost = psum_scalar(0.5 * jnp.sum(jnp.square(residual_stack(cand, asm))))
+            cost = cost_of(cand)
             return cand, cost
 
     else:
@@ -397,7 +423,7 @@ def gn_iteration(
             delta, _ = _pcg(matvec, precond, b, cg_iters, eta=cg_eta, tdot=tdot)
             delta = _mask(masks, delta)
             cand = _tmap(lambda p, d: p + d, params, delta)
-            cost = psum_scalar(0.5 * jnp.sum(jnp.square(residual_stack(cand, asm))))
+            cost = cost_of(cand)
             return cand, cost
 
     def cond(state):

@@ -1,0 +1,194 @@
+"""Chunked/streamed E_g assembly ≡ one-shot assembly (VERDICT r4 item 1).
+
+`blockform.linearize_block_chunked` streams the E_g linearization over frame
+chunks so the memory-forced finest level keeps the reference's per-voxel
+top-N over ALL frames (``colorization.cpp:357-370``) instead of trimming
+observation coverage; `blockform.block_total_cost` streams the LM acceptance
+forward the same way. Chunking is a pure re-batching of identical
+per-element math — results must match the one-shot path to f32
+rounding-order noise (the windowed Pallas sampler's internal chunk geometry
+reorders FMAs), and full production solves must track each other.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from intrinsic3d_tpu.config import RefinementConfig
+from intrinsic3d_tpu.grid.blocks import BlockLayout
+from intrinsic3d_tpu.refine import blockform
+from intrinsic3d_tpu.refine.optimizer import (
+    _EG_ASSEMBLY_BYTES,
+    _EG_CHUNK_PERSIST_BYTES,
+    _EG_CHUNK_TRANSIENT_BYTES,
+    optimize_level,
+    plan_eg_layout,
+)
+from intrinsic3d_tpu.synthetic import build_sphere_problem
+
+
+@pytest.fixture(scope="module")
+def prob():
+    cfg = RefinementConfig(
+        num_observations=2,
+        occlusion_distance=0.04,
+        fix_poses=False,
+        fix_intrinsics=False,
+        fix_distortion=False,
+    )
+    return build_sphere_problem(
+        voxel_size=0.015,
+        image_size=(64, 48),
+        num_frames=3,
+        num_observations=2,
+        cfg=cfg,
+        perturb_sdf=0.002,
+        perturb_albedo=0.05,
+    )
+
+
+@pytest.fixture(scope="module")
+def assemblies(prob):
+    asm, masks = prob.assemble()
+    layout = BlockLayout.build(prob.grid)
+    bp, basm_d, bm = blockform.to_block_problem(
+        layout, prob.topo.coords, asm, masks, prob.params
+    )
+    _, basm_b, _ = blockform.to_block_problem(
+        layout, prob.topo.coords, asm, masks, prob.params, bucket=True
+    )
+    return layout, bp, basm_d, basm_b, bm
+
+
+@pytest.mark.parametrize("which", ["dense", "bucketed"])
+@pytest.mark.parametrize("chunks", [2, 3])
+def test_chunked_linearization_matches_one_shot(assemblies, which, chunks):
+    _, bp, basm_d, basm_b, _ = assemblies
+    a = basm_d if which == "dense" else basm_b
+    c0, lin0 = blockform.linearize_block(bp, a)
+    c1, lin1 = blockform.linearize_block_chunked(bp, a, chunks, jnp.float32)
+    np.testing.assert_allclose(float(c1), float(c0), rtol=1e-5)
+    for name in ("a_sdf", "a_alb", "a_pose", "a_intr", "a_dist", "r0_g"):
+        x0 = np.asarray(getattr(lin0, name), np.float64)
+        x1 = np.asarray(getattr(lin1, name), np.float64)
+        scale = max(np.abs(x0).max(), 1e-12)
+        # measured ≤7e-5 relative (sampler FMA reorder); a chunking bug
+        # (wrong frame ids, lost rows) is O(1) relative
+        assert np.abs(x0 - x1).max() / scale < 5e-4, name
+    # the linear terms are not chunked — bitwise
+    for name in ("r0_r", "r0_s", "r0_a", "sq_er", "sq_es", "sq_ea"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(lin0, name)), np.asarray(getattr(lin1, name))
+        )
+
+
+@pytest.mark.parametrize("which", ["dense", "bucketed"])
+def test_chunked_cost_matches_residual_stack(assemblies, which):
+    _, bp, basm_d, basm_b, _ = assemblies
+    a = basm_d if which == "dense" else basm_b
+    r = blockform.block_all_residuals(bp, a)
+    ct = 0.5 * float(np.sum(np.asarray(r, np.float64) ** 2))
+    for chunks in (2, 3):
+        cc = float(blockform.block_total_cost(bp, a, chunks))
+        np.testing.assert_allclose(cc, ct, rtol=1e-5)
+
+
+def test_chunked_bf16_fields_are_cast(assemblies):
+    _, bp, basm_d, _, _ = assemblies
+    _, lin = blockform.linearize_block_chunked(bp, basm_d, 2, jnp.bfloat16)
+    assert lin.a_sdf.dtype == jnp.bfloat16
+    assert lin.r0_g.dtype == jnp.float32  # residuals stay f32
+    # downstream consumers run on the cast fields: diag stays finite/f32
+    d = blockform.diag_from_lin(lin, basm_d)
+    assert d.sdf.dtype == jnp.float32
+    assert np.isfinite(np.asarray(d.poses)).all()
+
+
+@pytest.mark.parametrize("mode", ["never", "always"])
+def test_optimize_level_chunked_matches_one_shot(prob, mode, monkeypatch):
+    """Full production solves (fused device assembly + Schur default) with
+    the streamed path forced via a tiny planner budget track the one-shot
+    path's trajectory."""
+    import intrinsic3d_tpu.refine.optimizer as opt
+
+    base = dataclasses.replace(
+        prob.cfg, iterations=2, lm_steps=6, frame_bucketing=mode,
+        lambda_r0=20.0, lambda_r1=20.0, lambda_s0=20.0, lambda_s1=20.0,
+    )
+    args = (
+        prob.grid, prob.topo, prob.params, base, prob.cam,
+        prob.depths, prob.images, prob.voxel_sh, prob.thres_shell,
+    )
+
+    p_ref, _, st_ref = optimize_level(*args, rgbd_level=0)
+
+    real_plan = opt.plan_eg_layout
+
+    def forced_plan(*a, **kw):
+        fb, reason, _ = real_plan(*a, **kw)
+        return fb, reason + ", streamed (forced by test)", 2
+
+    monkeypatch.setattr(opt, "plan_eg_layout", forced_plan)
+    p_c, _, st_c = optimize_level(*args, rgbd_level=0)
+
+    # identical starting point → identical first relinearization cost; later
+    # iterations drift by bf16-coefficient noise in the chunked gradient/
+    # diagonal (the one-shot path computes them from f32 fields) amplified
+    # across relinearizations
+    np.testing.assert_allclose(st_c.costs_before[0], st_ref.costs_before[0], rtol=1e-4)
+    np.testing.assert_allclose(st_c.costs_before, st_ref.costs_before, rtol=2e-2)
+    np.testing.assert_allclose(st_c.costs_after, st_ref.costs_after, rtol=2e-2)
+    np.testing.assert_allclose(
+        np.asarray(p_c.sdf), np.asarray(p_ref.sdf), atol=2e-3
+    )
+
+
+def test_planner_prefers_streaming_over_trim(prob):
+    """When the exact bucket layout exceeds the budget but streaming fits,
+    the plan keeps FULL coverage with eg_chunks > 1; the hard trim engages
+    only when even 1-frame chunks cannot fit."""
+    layout = BlockLayout.build(prob.grid)
+    w, h = int(prob.images.shape[2]), int(prob.images.shape[1])
+    k = int(np.asarray(prob.params.poses).shape[0])
+    s = layout.block**3
+    args = (
+        layout,
+        np.asarray(prob.params.poses),
+        np.asarray(prob.params.intr),
+        prob.cfg,
+        w,
+        h,
+        prob.grid.voxel_size,
+        prob.thres_shell,
+        np.asarray(prob.depths),
+    )
+    # reference coverage at a generous budget: no streaming, no trim
+    fb_full, _, chunks = plan_eg_layout(*args, budget=1e18)
+    assert chunks == 1
+
+    # exact buckets to size the budget window
+    fb_probe, _, _ = plan_eg_layout(
+        *args[:3] + (dataclasses.replace(prob.cfg, frame_bucketing="always"),) + args[4:],
+        budget=1e18,
+    )
+    nbc = fb_probe.shape[1]
+    el = k * nbc * s
+    # budget that fits persistent+assembly+2-frame transients but NOT the
+    # one-shot layout
+    budget = max(
+        el * _EG_CHUNK_PERSIST_BYTES + 2 * nbc * s * _EG_CHUNK_TRANSIENT_BYTES,
+        el * _EG_ASSEMBLY_BYTES,
+    ) * 1.05
+    fb, reason, chunks = plan_eg_layout(*args, budget=budget)
+    assert fb is not None and chunks > 1, reason
+    assert "streamed" in reason and "trimmed" not in reason
+    # full coverage kept: same bucket widths as the exact build
+    assert fb.shape == fb_probe.shape
+
+    # budget below even the persistent fields → hard trim fallback
+    fb2, reason2, chunks2 = plan_eg_layout(
+        *args, budget=el * _EG_CHUNK_PERSIST_BYTES * 0.5
+    )
+    assert chunks2 == 1 and "trimmed" in reason2

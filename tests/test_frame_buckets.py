@@ -365,17 +365,17 @@ def test_plan_eg_layout_decisions(prob):
 
     # disabled -> always dense
     cfg_never = dataclasses.replace(prob.cfg, frame_bucketing="never")
-    fb, _ = plan_eg_layout(*(args[:3] + (cfg_never,) + args[4:]), budget=1.0)
+    fb, _, _ = plan_eg_layout(*(args[:3] + (cfg_never,) + args[4:]), budget=1.0)
     assert fb is None
 
     # forced by config -> bucketed even with an infinite budget
     cfg_always = dataclasses.replace(prob.cfg, frame_bucketing="always")
-    fb, reason = plan_eg_layout(*(args[:3] + (cfg_always,) + args[4:]), budget=1e18)
+    fb, reason, _ = plan_eg_layout(*(args[:3] + (cfg_always,) + args[4:]), budget=1e18)
     assert fb is not None
 
     # tiny budget -> memory-forced AND frame-capped (exact buckets too big);
     # the cap bounds every block to num_observations + 1 candidate frames
-    fb, reason = plan_eg_layout(*args, budget=1.0)
+    fb, reason, _ = plan_eg_layout(*args, budget=1.0)
     assert fb is not None and "frame-capped" in reason
     nb = layout.num_blocks
     counts = np.zeros(nb + 1, np.int64)
@@ -386,8 +386,8 @@ def test_plan_eg_layout_decisions(prob):
     # occlusion_distance == 0 must skip the depth cull: its buckets can only
     # be larger than the occlusion-culled ones
     cfg0 = dataclasses.replace(prob.cfg, frame_bucketing="always", occlusion_distance=0.0)
-    fb0, _ = plan_eg_layout(*(args[:3] + (cfg0,) + args[4:]), budget=1e18)
-    fb1, _ = plan_eg_layout(*(args[:3] + (cfg_always,) + args[4:]), budget=1e18)
+    fb0, _, _ = plan_eg_layout(*(args[:3] + (cfg0,) + args[4:]), budget=1e18)
+    fb1, _, _ = plan_eg_layout(*(args[:3] + (cfg_always,) + args[4:]), budget=1e18)
     assert int(np.sum(fb0 < nb)) > int(np.sum(fb1 < nb))
 
 
@@ -410,7 +410,7 @@ def test_occlusion_zero_bucketed_energy_exact(prob):
     )
     w, h = int(prob.images.shape[2]), int(prob.images.shape[1])
     cfg0 = dataclasses.replace(prob.cfg, frame_bucketing="always", occlusion_distance=0.0)
-    fb, _ = plan_eg_layout(
+    fb, _, _ = plan_eg_layout(
         layout,
         np.asarray(prob.params.poses),
         np.asarray(prob.params.intr),
@@ -531,7 +531,7 @@ def test_plan_eg_layout_budget_hard_trim(prob):
     k = int(np.asarray(prob.params.poses).shape[0])
     s = layout.block**3
     budget = 17 * k * s * _EG_BUCKET_BYTES_PER_ELEMENT  # b_max -> 16
-    fb, reason = plan_eg_layout(
+    fb, reason, chunks = plan_eg_layout(
         layout,
         np.asarray(prob.params.poses),
         np.asarray(prob.params.intr),

@@ -116,11 +116,11 @@ def test_mid_poses_within_orbit_bound(pipeline_mid):
     from tests.test_golden import assert_poses_sane
 
     root, spec = pipeline_mid
-    # measured post-gate band (see tests/test_golden.py::assert_poses_sane);
-    # the mid scene's worst keyframe sits ~0.37 m off the orbit (a coarse-
-    # level drift this bound tolerates) — the guard is against the
-    # meters-scale starved-pose divergence the gate prevents
-    assert_poses_sane(root, spec.num_frames, bound_m=0.5)
+    # measured post-gate band (see tests/test_golden.py::assert_poses_sane):
+    # keyframes 0.02-0.21 m off the orbit (pre-gate the worst was 0.65 m and
+    # rising), non-keyframes exact — the guard is against the meters-scale
+    # starved-pose divergence the gate prevents
+    assert_poses_sane(root, spec.num_frames, bound_m=0.35)
 
 
 def test_mid_poses_golden(pipeline_mid, tmp_path):

@@ -86,7 +86,7 @@ def main():
     st = build_level_static(
         layout, prob.grid, prob.topo, prob.voxel_sh, device=False
     )
-    fb, reason = plan_eg_layout(
+    fb, reason, _chunks = plan_eg_layout(
         layout,
         np.asarray(prob.params.poses),
         np.asarray(prob.params.intr, np.float64),
