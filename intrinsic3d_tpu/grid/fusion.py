@@ -286,23 +286,27 @@ class FusionVolume:
         self.grid.integration_weight_sample = self.weight_sample
         n = self.grid.num_voxels
         if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from jax.sharding import PartitionSpec as P
+
+            from intrinsic3d_tpu.parallel.staging import stage_rows, stage_sliced
 
             ndev = int(self.mesh.devices.size)
             self._pad = (-n) % ndev
             npad = n + self._pad
-            sh1 = NamedSharding(self.mesh, P("data"))
-            sh2 = NamedSharding(self.mesh, P("data", None))
             pts = np.pad(
                 self.grid.voxel_to_world().astype(np.float32),
                 ((0, self._pad), (0, 0)),
             )
-            self._world_pts = jax.device_put(jnp.asarray(pts), sh2)
+            # process-local staging (parallel/staging.py): each addressable
+            # device's voxel range only — multi-host-valid placement
+            self._world_pts = stage_sliced(self.mesh, P("data", None), pts)
+            zeros = lambda lo, hi: np.zeros(hi - lo, np.float32)  # noqa: E731
+            zeros3 = lambda lo, hi: np.zeros((hi - lo, 3), np.float32)  # noqa: E731
             self._acc = (
-                jax.device_put(jnp.zeros(npad, jnp.float32), sh1),  # Σ w·sdf
-                jax.device_put(jnp.zeros(npad, jnp.float32), sh1),  # Σ w
-                jax.device_put(jnp.zeros((npad, 3), jnp.float32), sh2),  # Σ w·c
-                jax.device_put(jnp.zeros(npad, jnp.float32), sh1),  # Σ w (col)
+                stage_rows(self.mesh, P("data"), (npad,), np.float32, zeros),
+                stage_rows(self.mesh, P("data"), (npad,), np.float32, zeros),
+                stage_rows(self.mesh, P("data", None), (npad, 3), np.float32, zeros3),
+                stage_rows(self.mesh, P("data"), (npad,), np.float32, zeros),
             )
         else:
             self._world_pts = jnp.asarray(self.grid.voxel_to_world())
@@ -344,13 +348,13 @@ class FusionVolume:
 
     def _replicated(self, x):
         """Image stacks as mesh-replicated arrays (mesh mode) so the jitted
-        integration has consistent operand placements."""
-        x = jnp.asarray(x, jnp.float32)
+        integration has consistent operand placements — process-local
+        placement (parallel/staging.py)."""
         if self.mesh is None:
-            return x
-        from jax.sharding import NamedSharding, PartitionSpec as P
+            return jnp.asarray(x, jnp.float32)
+        from intrinsic3d_tpu.parallel.staging import stage_replicated
 
-        return jax.device_put(x, NamedSharding(self.mesh, P()))
+        return stage_replicated(self.mesh, np.asarray(x, np.float32))
 
     def finalize(self) -> VoxelGrid:
         n = self.grid.num_voxels

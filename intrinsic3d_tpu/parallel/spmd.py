@@ -546,38 +546,41 @@ class SpmdLevel:
         nb = layout.num_blocks
         s = layout.block**3
 
-        blk = NamedSharding(mesh, P(axis, None))
-        mid3 = NamedSharding(mesh, P(None, axis, None))
-        rep = NamedSharding(mesh, P())
+        from intrinsic3d_tpu.parallel.staging import stage_replicated, stage_sliced
 
-        def put(x, sh):
-            return jax.device_put(jnp.asarray(x), sh)
+        blk = P(axis, None)
+        mid3 = P(None, axis, None)
+
+        def put(x, spec, shard_dim=0):
+            # process-local staging (parallel/staging.py): each addressable
+            # device's slice only — valid under multi-process jax.distributed
+            return stage_sliced(mesh, spec, np.asarray(x), shard_dim)
 
         # statics re-laid for brick sharding: pad rows stripped, per-slot
         # [C, D] fields folded to [C, nb, B³] so the block axis shards
         eg_sh = (
-            eg_sh_device
+            eg_sh_device  # already sharded on this mesh — pass through
             if eg_sh_device is not None
-            else jnp.asarray(st.eg_sh).reshape(9, nb, s)
+            else put(np.asarray(st.eg_sh).reshape(9, nb, s), mid3, 1)
         )
         self._stat = (
             put(_strip_pad(st.occ), blk),
             put(_strip_pad(st.valid), blk),
-            put(jnp.asarray(st.vpos).reshape(3, nb, s), mid3),
+            put(np.asarray(st.vpos).reshape(3, nb, s), mid3, 1),
             put(st.es_ref, blk),
-            put(eg_sh, mid3),
-            put(st.ea_chroma, mid3),
+            eg_sh,
+            put(st.ea_chroma, mid3, 1),
         )
-        self._depths = put(depths, rep)
-        self._images = put(images, rep)
+        self._depths = stage_replicated(mesh, depths)
+        self._images = stage_replicated(mesh, images)
         self._scalars = tuple(
-            put(jnp.float32(v), rep)
+            stage_replicated(mesh, np.float32(v))
             for v in (pyr_scale, voxel_size, truncation, thres_shell, occlusion_distance)
         )
         self._bucketed = bmap is not None
         if self._bucketed:
             bmap_dev, _ = localize_buckets(nb, np.asarray(bmap), n)
-            self._bmap = put(bmap_dev, NamedSharding(mesh, P(axis, None, None)))
+            self._bmap = put(bmap_dev, P(axis, None, None))
         else:
             self._bmap = None
 
@@ -673,15 +676,32 @@ class SpmdLevel:
     # -- outer-loop API ----------------------------------------------------
 
     def begin(self, bparams: Params) -> Params:
-        """Strip pad rows and place the parameters on the mesh (bricked)."""
-        blk = NamedSharding(self.mesh, P(self.axis, None))
-        rep = NamedSharding(self.mesh, P())
+        """Strip pad rows and place the parameters on the mesh (bricked),
+        process-local per addressable device (parallel/staging.py). Leaves
+        already sharded on this mesh (the mesh pipeline's loop state) pass
+        through untouched."""
+        from intrinsic3d_tpu.parallel.staging import stage_replicated, stage_sliced
+
+        def on_mesh(x):
+            sh = getattr(x, "sharding", None)
+            return sh is not None and getattr(sh, "mesh", None) is self.mesh
+
+        def brick(x):
+            if on_mesh(x):
+                return x
+            return stage_sliced(self.mesh, P(self.axis, None), np.asarray(x))
+
+        def rep(x):
+            if on_mesh(x):
+                return x
+            return stage_replicated(self.mesh, np.asarray(x))
+
         return Params(
-            sdf=jax.device_put(_strip_pad(bparams.sdf), blk),
-            albedo=jax.device_put(_strip_pad(bparams.albedo), blk),
-            poses=jax.device_put(bparams.poses, rep),
-            intr=jax.device_put(bparams.intr, rep),
-            dist=jax.device_put(bparams.dist, rep),
+            sdf=brick(_strip_pad(bparams.sdf)),
+            albedo=brick(_strip_pad(bparams.albedo)),
+            poses=rep(bparams.poses),
+            intr=rep(bparams.intr),
+            dist=rep(bparams.dist),
         )
 
     def step(self, bparams_s: Params, lambdas: jnp.ndarray, mu):

@@ -62,25 +62,20 @@ from intrinsic3d_tpu.refine.residuals import Params
 
 
 def place_block_params(mesh: Mesh, layout: BlockLayout, params: Params, axis: str = "data") -> Params:
-    """Table params → stripped brick-sharded block form: host numpy scatter →
-    `device_put` with the brick sharding, so no full-grid single-device
-    transient is ever created (unlike `blockform.table_to_dense`, which is a
-    jitted single-device scatter)."""
-    nb, s = layout.num_blocks, layout.block**3
-    blk = NamedSharding(mesh, P(axis, None))
-    rep = NamedSharding(mesh, P())
+    """Table params → stripped brick-sharded block form, built process-local
+    per addressable device (`parallel.staging.stage_table_rows`) — valid
+    under multi-process `jax.distributed`, where a process cannot place data
+    on another host's devices; no full-grid single-device transient either
+    (unlike `blockform.table_to_dense`, a jitted single-device scatter)."""
+    from intrinsic3d_tpu.parallel.staging import stage_replicated, stage_table_rows
 
-    def densify(vals):
-        out = np.zeros(nb * s, np.float32)
-        out[layout.vox_slot] = np.asarray(vals, np.float32)
-        return jax.device_put(out.reshape(nb, s), blk)
-
+    blk = P(axis, None)
     return Params(
-        sdf=densify(params.sdf),
-        albedo=densify(params.albedo),
-        poses=jax.device_put(jnp.asarray(params.poses), rep),
-        intr=jax.device_put(jnp.asarray(params.intr), rep),
-        dist=jax.device_put(jnp.asarray(params.dist), rep),
+        sdf=stage_table_rows(mesh, blk, layout, params.sdf),
+        albedo=stage_table_rows(mesh, blk, layout, params.albedo),
+        poses=stage_replicated(mesh, params.poses),
+        intr=stage_replicated(mesh, params.intr),
+        dist=stage_replicated(mesh, params.dist),
     )
 
 
@@ -198,33 +193,42 @@ class SpmdStages:
         )
         self._axis = axis
         nb, s = layout.num_blocks, layout.block**3
-        d = nb * s
 
-        blk = NamedSharding(mesh, P(axis, None))
-        mid3 = NamedSharding(mesh, P(None, axis, None))
-        rep = NamedSharding(mesh, P())
-
-        def densify(vals, dtype, fill=0):
-            out = np.full(d, fill, dtype)
-            out[layout.vox_slot] = np.asarray(vals, dtype)
-            return out.reshape(nb, s)
-
-        # host-side brick staging (numpy scatter → device_put lands sharded;
-        # no full-grid single-device transient)
-        subvol = sub.point_to_subvolume(pts)
-        self._valid = jax.device_put(
-            densify(grid.valid_mask().astype(np.float32), np.float32), blk
+        from intrinsic3d_tpu.parallel.staging import (
+            stage_replicated,
+            stage_rows,
+            stage_table_rows,
         )
-        vpos = np.zeros((3, d), np.int32)
-        vpos[:, layout.vox_slot] = grid.coords.astype(np.int32).T
-        self._vpos = jax.device_put(vpos.reshape(3, nb, s), mid3)
-        self._subvol = jax.device_put(densify(subvol, np.int32, fill=-1), blk)
+
+        blk = P(axis, None)
+        mid3 = P(None, axis, None)
+
+        # process-local brick staging: each addressable device's block rows
+        # are built and placed directly (parallel/staging.py) — no full-grid
+        # single-device transient, valid under multi-process jax.distributed
+        subvol = sub.point_to_subvolume(pts)
+        self._valid = stage_table_rows(
+            mesh, blk, layout, grid.valid_mask().astype(np.float32)
+        )
+        coords_i32 = grid.coords.astype(np.int32)
+        slot = layout.vox_slot
+
+        def vpos_rows(lo, hi):
+            out = np.zeros((3, (hi - lo) * s), np.int32)
+            sel = (slot >= lo * s) & (slot < hi * s)
+            out[:, slot[sel] - lo * s] = coords_i32[sel].T
+            return out.reshape(3, hi - lo, s)
+
+        self._vpos = stage_rows(mesh, mid3, (3, nb, s), np.int32, vpos_rows, 1)
+        self._subvol = stage_table_rows(
+            mesh, blk, layout, subvol, dtype=np.int32, fill=-1
+        )
         tab, origin = sub.cell_lookup()
-        self._cell_tab = jax.device_put(jnp.asarray(tab), rep)
-        self._cell_origin = jax.device_put(jnp.asarray(origin, jnp.int32), rep)
-        self._pairs = jax.device_put(jnp.asarray(sub.neighbor_pairs()), rep)
-        self._depths0 = jax.device_put(jnp.asarray(depths0), rep)
-        self._colors0 = jax.device_put(jnp.asarray(colors0), rep)
+        self._cell_tab = stage_replicated(mesh, tab)
+        self._cell_origin = stage_replicated(mesh, np.asarray(origin, np.int32))
+        self._pairs = stage_replicated(mesh, sub.neighbor_pairs())
+        self._depths0 = stage_replicated(mesh, depths0)
+        self._colors0 = stage_replicated(mesh, colors0)
         self._voxel_size = float(grid.voxel_size)
 
         p_specs, _, blk_p, rep_p = _base_specs(axis)
@@ -237,12 +241,13 @@ class SpmdStages:
         return self
 
     def stage_colors(self, colors: np.ndarray) -> jnp.ndarray:
-        """Host voxel-table colors [N, 3] → sharded block-dense [nb, B³, 3]."""
-        nb, s = self.layout.num_blocks, self.layout.block**3
-        out = np.zeros((nb * s, 3), np.float32)
-        out[self.layout.vox_slot] = np.asarray(colors, np.float32)
-        return jax.device_put(
-            out.reshape(nb, s, 3), NamedSharding(self.mesh, P(self._axis, None, None))
+        """Host voxel-table colors [N, 3] → sharded block-dense [nb, B³, 3],
+        built process-local per addressable device (parallel/staging.py)."""
+        from intrinsic3d_tpu.parallel.staging import stage_table_rows
+
+        return stage_table_rows(
+            self.mesh, P(self._axis, None, None), self.layout, colors,
+            trailing=(3,),
         )
 
     # ------------------------------------------------------------------
@@ -434,11 +439,12 @@ class SpmdStages:
     def _occ_gate(self):
         gate = getattr(self, "_occ_gate_arr", None)
         if gate is None:
-            nb, s = self.layout.num_blocks, self.layout.block**3
-            occ = np.zeros(nb * s, np.float32)
-            occ[self.layout.vox_slot] = 1.0
-            gate = jax.device_put(
-                occ.reshape(nb, s), NamedSharding(self.mesh, P(self._axis, None))
+            from intrinsic3d_tpu.parallel.staging import stage_table_rows
+
+            n = len(self.layout.vox_slot)
+            gate = stage_table_rows(
+                self.mesh, P(self._axis, None), self.layout,
+                np.ones(n, np.float32),
             )
             self._occ_gate_arr = gate
         return gate

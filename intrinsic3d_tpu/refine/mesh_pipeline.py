@@ -13,9 +13,12 @@ Parameters and colors are materialized on the host only at grid-level
 boundaries (for the host-side ×2 upsample / thin-shell sparsify between grid
 levels, ``algorithms.cpp:202-237, 368-458``) and when refinement callbacks
 are registered; pose/intrinsics updates pull only the replicated global
-parameters. Host-side staging scatters (numpy → `device_put` with a
-`NamedSharding`) land sharded directly, so no full-grid per-voxel device
-array ever lives on a single device during the level loop. Reference
+parameters. Host-side staging scatters run through the PROCESS-LOCAL
+construction of `parallel/staging.py` (each addressable device's brick
+built and placed directly, assembled with
+`jax.make_array_from_single_device_arrays`) — no full-grid per-voxel device
+array ever lives on a single device, and the placement is valid under
+multi-process `jax.distributed` (tools/dryrun_multiprocess.py). Reference
 orchestration parity: ``intrinsic3d.cpp:230-295``.
 """
 
