@@ -842,6 +842,28 @@ def _footprint_depth_interval(mips, u0, u1, v0, v1):
     return dmin, dmax
 
 
+def bucket_ladder_up(x: int, step: int = 8) -> int:
+    """Smallest rung ≥ x of the geometric bucket-width ladder: multiples of
+    `step` growing by ~1.25x (8, 16, 24, 32, 40, 56, 72, 96, 120, 152, …).
+    Bounds the compiled-shape universe per (nb, K) to O(log nb) rungs."""
+    r = step
+    while r < x:
+        r = max(r + step, -(-int(r * 1.25) // step) * step)
+    return r
+
+
+def bucket_ladder_down(x: int, step: int = 8) -> int:
+    """Largest rung ≤ x (≥ step) — used to quantize the hard-trim budget cap
+    so the trimmed width lands exactly on a rung."""
+    if x <= step:
+        return step
+    r = prev = step
+    while r <= x:
+        prev = r
+        r = max(r + step, -(-int(r * 1.25) // step) * step)
+    return prev
+
+
 def build_frame_buckets(
     layout: BlockLayout,
     poses6: np.ndarray,  # [K, 6] world→cam angle-axis + t
@@ -1016,8 +1038,14 @@ def build_frame_buckets(
             )
 
     nbc = max((len(bk) for bk in buckets), default=1)
-    nbc = max(round_to, -(-max(nbc, 1) // round_to) * round_to)
-    nbc = min(nbc, max(round_to, -(-nb // round_to) * round_to))
+    # quantize the bucket WIDTH to the geometric ladder (VERDICT r4 item 4):
+    # NBc is the one data-dependent static of the level program — snapping it
+    # to ~1.25x rungs makes warm sessions hit the persistent compile cache
+    # across trajectory/session variation (padding entries index the pad
+    # block, weight 0 by construction — exactness unchanged). Capped at the
+    # dense-equivalent width nb (rounded to round_to).
+    cap = max(round_to, -(-nb // round_to) * round_to)
+    nbc = min(bucket_ladder_up(max(nbc, 1), round_to), cap)
     bmap = np.full((len(buckets), nbc), nb, np.int32)
     for k, bk in enumerate(buckets):
         bmap[k, : min(len(bk), nbc)] = bk[:nbc]

@@ -268,7 +268,11 @@ def plan_eg_layout(
         # than the alternative.
         trim_bytes = min(bytes_per_element, _EG_BUCKET_BYTES_PER_ELEMENT)
         b_max = int(budget // (k * s * trim_bytes))
-        b_max = max(8, (b_max // 8) * 8)
+        # down-quantize the trim cap to a bucket-ladder rung so the trimmed
+        # width is a stable compiled shape (VERDICT r4 item 4)
+        from intrinsic3d_tpu.refine.blockform import bucket_ladder_down
+
+        b_max = bucket_ladder_down(max(8, b_max))
         trim_stats: dict = {}
         fb = build_frame_buckets(
             **common,

@@ -599,3 +599,60 @@ def test_budget_trim_cover_protection(prob):
     assert int(np.sum(cp[weak_full] >= 2)) >= int(np.sum(cu[weak_full] >= 2))
     # trimming happened at all (otherwise the test is vacuous)
     assert cp.sum() < full.sum()
+
+
+def test_bucket_ladder_properties():
+    """Geometric ladder (VERDICT r4 item 4): monotone multiples of 8 with
+    ≤1.3x steps, up/down consistent."""
+    from intrinsic3d_tpu.refine.blockform import bucket_ladder_down, bucket_ladder_up
+
+    rungs = []
+    r = 8
+    while r < 10000:
+        rungs.append(r)
+        r = bucket_ladder_up(r + 1)
+    ratios = [b / a for a, b in zip(rungs, rungs[1:])]
+    # minimum-granularity (+8) steps dominate the small rungs (ratio up to
+    # 2.0 at 8→16); the geometric regime caps at ~1.35x from 64 up
+    assert max(ratios) <= 2.0 and min(ratios) > 1.0
+    geo = [b / a for a, b in zip(rungs, rungs[1:]) if a >= 64]
+    assert max(geo) <= 1.4
+    assert all(v % 8 == 0 for v in rungs)
+    for x in (1, 8, 9, 17, 100, 1234):
+        up = bucket_ladder_up(x)
+        assert up >= x and up in rungs
+        down = bucket_ladder_down(x)
+        assert down <= max(x, 8) and down in rungs
+        assert bucket_ladder_down(up) == up  # rungs are fixed points
+
+
+def test_bucket_width_is_ladder_rung_and_stable(prob):
+    """Bucket widths land on ladder rungs, and a small pose perturbation
+    (the session-to-session trajectory noise that used to change NBc and
+    miss the compile cache) keeps the compiled shape."""
+    from intrinsic3d_tpu.grid.blocks import BlockLayout
+    from intrinsic3d_tpu.refine.blockform import bucket_ladder_up
+
+    layout = BlockLayout.build(prob.grid)
+    w, h = int(prob.images.shape[2]), int(prob.images.shape[1])
+    common = dict(
+        layout=layout,
+        intr4=np.asarray(prob.params.intr, np.float64),
+        width=w,
+        height=h,
+        voxel_size=prob.grid.voxel_size,
+        depths=np.asarray(prob.depths),
+        occlusion=prob.cfg.occlusion_distance,
+        depth_slack=0.05 + float(prob.thres_shell),
+        margin_px=0.15 * max(w, h),
+    )
+    fb0 = blockform.build_frame_buckets(
+        poses6=np.asarray(prob.params.poses), **common
+    )
+    nb_cap = -(-layout.num_blocks // 8) * 8
+    assert fb0.shape[1] in (bucket_ladder_up(fb0.shape[1]), nb_cap)
+    rng = np.random.default_rng(11)
+    for _ in range(3):
+        poses = np.asarray(prob.params.poses) + rng.normal(0, 2e-3, (len(prob.params.poses), 6))
+        fb = blockform.build_frame_buckets(poses6=poses.astype(np.float32), **common)
+        assert fb.shape == fb0.shape, "compiled shape must survive pose noise"
