@@ -704,13 +704,67 @@ class SpmdLevel:
             dist=rep(bparams.dist),
         )
 
+    def set_eg_sh(self, eg_sh_dev: jnp.ndarray) -> None:
+        """Swap in the per-voxel SH field (the sharded SVSH output) after a
+        background construction that staged a zero placeholder — the statics
+        are per-call arguments, so the swap is free and the warmed program
+        (same aval/sharding) stays valid."""
+        st = list(self._stat)
+        st[4] = eg_sh_dev
+        self._stat = tuple(st)
+
+    def warm(self) -> None:
+        """AOT-compile the step program — trace + persistent-compile-cache
+        read + remote program upload WITHOUT executing the solve (the mesh
+        twin of `optimizer.LevelPrep`'s program warm; VERDICT r4 item 3).
+        `step` then calls the compiled executable directly; any aval drift
+        falls back to the jit path."""
+        sds = jax.ShapeDtypeStruct
+        f32 = jnp.float32
+        blk = NamedSharding(self.mesh, P(self.axis, None))
+        rep = NamedSharding(self.mesh, P())
+        nb, s = self.layout.num_blocks, self.layout.block**3
+        k = int(self._depths.shape[0])
+        zp = Params(
+            sdf=sds((nb, s), f32, sharding=blk),
+            albedo=sds((nb, s), f32, sharding=blk),
+            poses=sds((k, 6), f32, sharding=rep),
+            intr=sds((4,), f32, sharding=rep),
+            dist=sds((5,), f32, sharding=rep),
+        )
+        lowered = self._step.lower(
+            self._stat,
+            self.ctx.sdf_plan_s,
+            self.ctx.alb_plan_s,
+            self._bmap,
+            zp,
+            self._depths,
+            self._images,
+            self._scalars,
+            sds((4,), f32, sharding=rep),
+            sds((), f32, sharding=rep),
+        )
+        self._compiled = lowered.compile()
+
+    def _replicated_scalar(self, x):
+        sh = getattr(x, "sharding", None)
+        if (
+            sh is not None
+            and getattr(sh, "mesh", None) is self.mesh
+            and sh.is_fully_replicated
+        ):
+            return x
+        from intrinsic3d_tpu.parallel.staging import stage_replicated
+
+        return stage_replicated(self.mesh, np.asarray(x, np.float32))
+
     def step(self, bparams_s: Params, lambdas: jnp.ndarray, mu):
         """One outer iteration: device assembly + damped-GN solve, sharded.
 
         `bparams_s` is the stripped/placed form from `begin` (or a previous
         `step`); returns (params', cost0, cost1, mu', tries) with params'
         still placed — feed it straight back in."""
-        return self._step(
+        args = (
             self._stat,
             self.ctx.sdf_plan_s,
             self.ctx.alb_plan_s,
@@ -719,9 +773,21 @@ class SpmdLevel:
             self._depths,
             self._images,
             self._scalars,
-            lambdas,
-            mu,
+            self._replicated_scalar(lambdas),
+            self._replicated_scalar(mu),
         )
+        if getattr(self, "_compiled", None) is not None:
+            try:
+                return self._compiled(*args)
+            except Exception as exc:  # noqa: BLE001 — aval drift: jit path
+                import logging
+
+                logging.getLogger("intrinsic3d").warning(
+                    "warmed SpmdLevel executable rejected the step args "
+                    "(%r); falling back to the jit path", exc
+                )
+                self._compiled = None
+        return self._step(*args)
 
     def finish(self, bparams_s: Params) -> Params:
         """Re-pad the voxel fields back to the `[nb+1, B³]` block form."""
