@@ -797,8 +797,7 @@ def optimize_level(
                     )
                     prep.compiled = None
             if out is None:
-                out = _fused_outer_step(
-                    *step_args,
+                fused_kw = dict(
                     num_obs=cfg.num_observations,
                     width=w,
                     height=h,
@@ -810,8 +809,50 @@ def optimize_level(
                     cg_iters=cg_iters,
                     schur_globals=cfg.schur_globals,
                     min_pose_obs=cfg.min_pose_obs,
-                    eg_chunks=eg_chunks,
                 )
+                try:
+                    out = _fused_outer_step(
+                        *step_args, **fused_kw, eg_chunks=eg_chunks
+                    )
+                    if itr == 0:
+                        jax.block_until_ready(out[1])
+                except Exception as exc:  # noqa: BLE001 — HBM overflow guard
+                    msg = str(exc)
+                    oom = "RESOURCE_EXHAUSTED" in msg or "hbm" in msg.lower()
+                    if itr != 0 or not oom:
+                        raise
+                    # the planned layout exceeded real HBM (mis-calibrated
+                    # memory constants — the round-4b failure mode): replan
+                    # at 60% of the budget, which raises the chunk count
+                    # and/or engages the hard trim, and retry ONCE
+                    log.warning(
+                        "level program exhausted device memory (%s...); "
+                        "replanning the E_g layout at 60%% budget",
+                        msg[:200],
+                    )
+                    fb, reason, eg_chunks = plan_eg_layout(
+                        layout,
+                        np.asarray(params.poses),
+                        np.asarray(params.intr, np.float64) * pyr_scale,
+                        cfg,
+                        w,
+                        h,
+                        grid.voxel_size,
+                        thres_shell,
+                        np.asarray(depths_level),
+                        budget=0.6 * eg_hbm_budget(),
+                    )
+                    log.warning(
+                        "  retry layout: %s (%s, %d chunks)",
+                        "dense" if fb is None else f"{fb.shape[1]} blocks/frame",
+                        reason,
+                        eg_chunks,
+                    )
+                    bmap = None if fb is None else jnp.asarray(fb)
+                    step_args = step_args[:-1] + (bmap,)
+                    out = _fused_outer_step(
+                        *step_args, **fused_kw, eg_chunks=eg_chunks
+                    )
             bparams, cost0, cost1, mu, tries = out
         else:
             intr = np.asarray(params.intr)

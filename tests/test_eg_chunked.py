@@ -192,3 +192,48 @@ def test_planner_prefers_streaming_over_trim(prob):
         *args, budget=el * _EG_CHUNK_PERSIST_BYTES * 0.5
     )
     assert chunks2 == 1 and "trimmed" in reason2
+
+
+def test_hbm_overflow_replans_and_retries(prob, monkeypatch):
+    """A compile/runtime RESOURCE_EXHAUSTED on the level's first iteration
+    replans the layout at reduced budget and retries once (the round-4b
+    HBM-roulette failure mode must degrade, not crash)."""
+    import intrinsic3d_tpu.refine.optimizer as opt
+
+    monkeypatch.setenv("I3D_PREFETCH", "0")
+    real = opt._fused_outer_step
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("RESOURCE_EXHAUSTED: Used 16.49G of 15.75G hbm")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(opt, "_fused_outer_step", flaky)
+    cfgl = dataclasses.replace(
+        prob.cfg, iterations=1, lm_steps=4,
+        lambda_r0=20.0, lambda_r1=20.0, lambda_s0=20.0, lambda_s1=20.0,
+    )
+    p, _, st = opt.optimize_level(
+        prob.grid, prob.topo, prob.params, cfgl, prob.cam,
+        prob.depths, prob.images, prob.voxel_sh, prob.thres_shell,
+        rgbd_level=0,
+    )
+    assert calls["n"] == 2  # failed once, replanned, retried
+    assert st.costs_after[0] < st.costs_before[0]
+
+    # a non-OOM failure must still raise
+    calls["n"] = 0
+
+    def broken(*a, **kw):
+        calls["n"] += 1
+        raise RuntimeError("something unrelated")
+
+    monkeypatch.setattr(opt, "_fused_outer_step", broken)
+    with pytest.raises(RuntimeError, match="unrelated"):
+        opt.optimize_level(
+            prob.grid, prob.topo, prob.params, cfgl, prob.cam,
+            prob.depths, prob.images, prob.voxel_sh, prob.thres_shell,
+            rgbd_level=0,
+        )
