@@ -60,27 +60,28 @@ _EG_DENSE_BYTES_PER_ELEMENT = 720
 _EG_BUCKET_BYTES_PER_ELEMENT = 640
 # chunked-streaming mode (linearize_block_chunked) memory model:
 #     peak ≈ max(el·ASSEMBLY,  el·PERSIST + ceil(K/C)·el_frame·TRANSIENT)
-# Calibration (tools/bench_chunked_memory.py): XLA:CPU buffer assignment at
-# bench scale (1.9M exact-coverage elements, K=8) measured total temps
-# 1862 B/el one-shot → 536 B/el floor from C=4 (un-chunkable assembly +
-# PCG/persistent fields) with a 1515 B/el-frame chunk-transient slope.
-# XLA:CPU materializes ~3x more than the TPU backend (TPU measured
-# 595 B/el for the one-shot bucketed graph vs CPU's 1862), so the CPU
-# numbers are safe UPPER bounds; the constants below sit between the
-# TPU-scaled expectation and the CPU bound — over-estimating only costs
-# extra (cheap) chunks, never an OOM. Re-calibrate on the chip with
-#   JAX_PLATFORMS=axon python tools/bench_chunked_memory.py --voxel 0.0012 \
-#       --size 640x480 --frames 10 --chunks 1,2,5
-_EG_CHUNK_PERSIST_BYTES = 200
+# Calibrated on the CHIP via XLA buffer assignment
+# (tools/bench_chunked_memory.py --backend axon, bench scale: 1.97M
+# exact-coverage elements, K=8, TPU v5e, 2026-08-22): total temps
+# 872 B/el one-shot → 627 (C=2) → 439 (C=4) → 386 B/el (C=8, 1 frame per
+# chunk); slope ≈ 420-555 B per chunk-resident element-frame, extrapolated
+# fpc→0 floor ≈ 334 B/el (persistent bf16 coefficients + the un-chunkable
+# assembly fields + the PCG loop's element-shaped matvec/unbucket buffers).
+# The floor is element-proportional (no fixed-size component of note), so
+# the bench-scale figures transfer to the finest level; constants carry a
+# small margin, and the optimize_level RESOURCE_EXHAUSTED replan guard
+# covers residual mis-calibration.
+_EG_CHUNK_PERSIST_BYTES = 340
 # per-element bytes of the PER-CHUNK linearize/acceptance transients (the
 # stencil/vjp temporaries the streaming bounds), applied to one chunk's
 # ceil(K/C)·NBc·B³ elements
-_EG_CHUNK_TRANSIENT_BYTES = 520
+_EG_CHUNK_TRANSIENT_BYTES = 560
 # per-element bytes of the assembly phase (observation weights, global top-N
 # rank argsorts, validity probe) — NOT chunk-reducible (the per-voxel top-N
 # ranks over all K frames at once); if this alone exceeds the budget the
-# plan falls back to the hard trim
-_EG_ASSEMBLY_BYTES = 200
+# plan falls back to the hard trim. Indistinguishable from the persistent
+# floor in the measured curve; pinned to the same figure.
+_EG_ASSEMBLY_BYTES = 340
 _EG_DENSE_HBM_BUDGET_FALLBACK = 11e9
 # headroom reserved out of the queried device memory for everything that is
 # not E_g element temps: images, persistent parameter/static fields, and the

@@ -175,12 +175,15 @@ def test_planner_prefers_streaming_over_trim(prob):
     )
     nbc = fb_probe.shape[1]
     el = k * nbc * s
-    # budget that fits persistent+assembly+2-frame transients but NOT the
-    # one-shot layout
+    # budget that fits persistent+assembly+1-frame transients but NOT the
+    # one-shot layout (with the TPU-calibrated constants, a 2-frame window
+    # at K=3 already exceeds the one-shot bytes — streaming only pays when
+    # the chunk window is a fraction of K)
     budget = max(
-        el * _EG_CHUNK_PERSIST_BYTES + 2 * nbc * s * _EG_CHUNK_TRANSIENT_BYTES,
+        el * _EG_CHUNK_PERSIST_BYTES + 1 * nbc * s * _EG_CHUNK_TRANSIENT_BYTES,
         el * _EG_ASSEMBLY_BYTES,
     ) * 1.05
+    assert budget < el * 640  # must be below the one-shot bucket estimate
     fb, reason, chunks = plan_eg_layout(*args, budget=budget)
     assert fb is not None and chunks > 1, reason
     assert "streamed" in reason and "trimmed" not in reason

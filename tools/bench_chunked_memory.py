@@ -46,12 +46,17 @@ def main():
     ap.add_argument("--num-obs", type=int, default=5)
     ap.add_argument("--chunks", default="1,2,4,8")
     ap.add_argument("--cg-iters", type=int, default=12)
+    ap.add_argument("--backend", default="cpu",
+                    help="cpu (default) or the attached TPU backend (axon)")
     args = ap.parse_args()
     w, h = (int(v) for v in args.size.split("x"))
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", args.backend)
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     import jax.numpy as jnp
 
     from intrinsic3d_tpu.config import RefinementConfig
