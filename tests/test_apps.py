@@ -5,6 +5,8 @@ import os
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.e2e  # full-pipeline runs; fast lane: -m "not e2e"
 from PIL import Image
 
 from intrinsic3d_tpu.camera import Camera

@@ -17,6 +17,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.e2e  # full-pipeline runs; fast lane: -m "not e2e"
+
 from intrinsic3d_tpu.io.ply import load_ply
 from intrinsic3d_tpu.io.tsdf_io import load_tsdf
 from intrinsic3d_tpu.io.trajectory import load_poses

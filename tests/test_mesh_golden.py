@@ -16,6 +16,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.e2e  # full-pipeline runs; fast lane: -m "not e2e"
+
 from intrinsic3d_tpu.io.ply import load_ply
 from intrinsic3d_tpu.mesh.metrics import mesh_error_vs_analytic
 
