@@ -42,7 +42,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from intrinsic3d_tpu.camera import Camera
 from intrinsic3d_tpu.color import intensity
@@ -57,7 +57,7 @@ from intrinsic3d_tpu.lighting.svsh import (
 )
 from intrinsic3d_tpu.mathutil import sdf_to_weight
 from intrinsic3d_tpu.observations import compute_observations_batch
-from intrinsic3d_tpu.parallel.spmd import SpmdContext, _base_specs, _plan_spec, _strip_pad
+from intrinsic3d_tpu.parallel.spmd import SpmdContext, _base_specs, _plan_spec
 from intrinsic3d_tpu.refine.residuals import Params
 
 

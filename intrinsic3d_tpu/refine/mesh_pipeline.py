@@ -30,7 +30,6 @@ from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 import jax
 

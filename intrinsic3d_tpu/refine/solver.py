@@ -396,9 +396,17 @@ def gn_iteration(
                 *psum_g3(*blockform.jgt_apply(lin, yv))
             )
             dp, di_, dd = blockform.unflatten_globals(csolve(bg - zv), k)
-            cand = _tmap(lambda p, d: p + d, params, Params(ds, da, dp, di_, dd))
+            delta = Params(ds, da, dp, di_, dd)
+            cand = _tmap(lambda p, d: p + d, params, delta)
             cost = cost_of(cand)
-            return cand, cost
+            # LM model reduction ½·δᵀ(μDδ − g) for the gain ratio (exact at
+            # exact solves; the PCG's inexact-Newton residual only perturbs
+            # the μ schedule, never correctness — acceptance stays on true
+            # cost)
+            pred = 0.5 * (
+                tdot(delta, b) + mu * tdot(delta, _tmap(lambda d_, v: d_ * v, diag, delta))
+            )
+            return cand, cost, pred
 
     else:
 
@@ -424,26 +432,46 @@ def gn_iteration(
             delta = _mask(masks, delta)
             cand = _tmap(lambda p, d: p + d, params, delta)
             cost = cost_of(cand)
-            return cand, cost
+            pred = 0.5 * (
+                tdot(delta, b) + mu * tdot(delta, _tmap(lambda d_, v: d_ * v, diag, delta))
+            )
+            return cand, cost, pred
 
     def cond(state):
-        tries, accepted, mu, _, _ = state
+        tries, accepted, mu, nu, _, _ = state
         return (~accepted) & (tries < lm_steps)
 
     def body(state):
-        tries, _, mu, best_params, best_cost = state
-        cand, cost = try_step(mu)
+        tries, _, mu, nu, best_params, best_cost = state
+        cand, cost, pred = try_step(mu)
         accepted = cost < cost0
         new_params = jax.tree_util.tree_map(
             lambda c, b: jnp.where(accepted, c, b), cand, best_params
         )
         new_cost = jnp.where(accepted, cost, best_cost)
-        # accepted → relax damping (Ceres grows the trust region); rejected →
-        # stiffen and retry
-        new_mu = jnp.where(accepted, jnp.maximum(mu / 3.0, 1e-10), jnp.minimum(mu * 4.0, 1e8))
-        return tries + 1, accepted, new_mu, new_params, new_cost
+        # Ceres' Levenberg-Marquardt trust-region update
+        # (``levenberg_marquardt_strategy.cc``): the damping decay is scaled
+        # by the GAIN RATIO ρ = actual/model cost reduction — radius grows by
+        # up to 3x only for near-perfect steps (ρ→1); mediocre accepted steps
+        # keep μ, so the schedule stops oscillating around the acceptance
+        # threshold (the previous unconditional μ/3 re-crossed it every
+        # iteration and paid one rejected solve per relinearization —
+        # measured mean tries 2.0 at pipeline scale). Rejection stiffens by
+        # the doubling ν instead of a fixed 4x.
+        rho = (cost0 - cost) / jnp.maximum(pred, 1e-30)
+        # Ceres: radius /= max(1/3, 1−(2ρ−1)³) — i.e. μ shrinks by up to 3x
+        # for near-perfect steps and GROWS by up to 2x for barely-accepted
+        # ones (ρ < ½ gives a factor > 1)
+        decay = jnp.clip(1.0 - (2.0 * rho - 1.0) ** 3, 1.0 / 3.0, 2.0)
+        new_mu = jnp.where(
+            accepted,
+            jnp.maximum(mu * decay, 1e-10),
+            jnp.minimum(mu * nu, 1e8),
+        )
+        new_nu = jnp.where(accepted, jnp.float32(2.0), jnp.minimum(nu * 2.0, 64.0))
+        return tries + 1, accepted, new_mu, new_nu, new_params, new_cost
 
-    tries, accepted, mu, out_params, cost1 = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.bool_(False), mu, params, cost0)
+    tries, accepted, mu, _, out_params, cost1 = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.bool_(False), mu, jnp.float32(2.0), params, cost0)
     )
     return out_params, cost0, cost1, mu, tries

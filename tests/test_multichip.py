@@ -49,7 +49,13 @@ def test_sharded_gn_step_matches_single_device(problem):
 
     # padded no-op rows must not change the cost
     np.testing.assert_allclose(c0, ref_c0, rtol=1e-5)
-    # the solve is iterative/floating point — costs agree loosely, both accepted
+    # the solve is iterative/floating point — costs agree loosely, both
+    # accepted. These rtol=2e-2 trajectory tolerances are deliberately loose
+    # (the Schur default's Gram→Cholesky→PCG chain amplifies reduction-order
+    # noise across relinearizations); the PHYSICAL end-state regression gate
+    # that a 2% cost drift cannot fool is tests/test_mesh_golden.py (the full
+    # sharded pipeline must meet the same mesh-error/pose bounds as the
+    # single-device golden run).
     assert c1 < c0
     np.testing.assert_allclose(c1, ref_c1, rtol=2e-2)
     np.testing.assert_allclose(
