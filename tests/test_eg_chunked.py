@@ -240,3 +240,38 @@ def test_hbm_overflow_replans_and_retries(prob, monkeypatch):
             prob.depths, prob.images, prob.voxel_sh, prob.thres_shell,
             rgbd_level=0,
         )
+
+
+def test_chunked_under_mesh_matches_single_device(prob, monkeypatch):
+    """Streamed linearization composed with the SPMD level path (the
+    lax.map chunk loop running INSIDE shard_map, with halo'd stencils and
+    psum'd globals) tracks the single-device chunked solve."""
+    import jax
+
+    import intrinsic3d_tpu.refine.optimizer as opt
+    from intrinsic3d_tpu.parallel.sharding import make_mesh
+
+    real_plan = opt.plan_eg_layout
+
+    def forced_plan(*a, **kw):
+        fb, reason, _ = real_plan(*a, **kw)
+        return fb, reason + ", streamed (forced by test)", 2
+
+    monkeypatch.setattr(opt, "plan_eg_layout", forced_plan)
+    base = dataclasses.replace(
+        prob.cfg, iterations=2, lm_steps=6, frame_bucketing="always",
+        lambda_r0=20.0, lambda_r1=20.0, lambda_s0=20.0, lambda_s1=20.0,
+    )
+    args = (
+        prob.grid, prob.topo, prob.params, base, prob.cam,
+        prob.depths, prob.images, prob.voxel_sh, prob.thres_shell,
+    )
+    p_ref, _, st_ref = optimize_level(*args, rgbd_level=0)
+    mesh = make_mesh(min(8, len(jax.devices())))
+    p_m, _, st_m = optimize_level(*args, rgbd_level=0, mesh=mesh)
+    np.testing.assert_allclose(st_m.costs_before[0], st_ref.costs_before[0], rtol=1e-4)
+    np.testing.assert_allclose(st_m.costs_before, st_ref.costs_before, rtol=2e-2)
+    np.testing.assert_allclose(st_m.costs_after, st_ref.costs_after, rtol=2e-2)
+    np.testing.assert_allclose(
+        np.asarray(p_m.sdf), np.asarray(p_ref.sdf), atol=2e-3
+    )
