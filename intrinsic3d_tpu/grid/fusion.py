@@ -358,7 +358,9 @@ class FusionVolume:
 
     def finalize(self) -> VoxelGrid:
         n = self.grid.num_voxels
-        wsdf, w, wc, cw = (np.asarray(a)[:n] for a in self._acc)
+        from intrinsic3d_tpu.parallel.staging import to_host_global
+
+        wsdf, w, wc, cw = (to_host_global(a)[:n] for a in self._acc)
         g = self.grid
         seen = w > 0.0
         g.sdf = np.where(seen, wsdf / np.maximum(w, 1e-12), 0.0).astype(np.float32)

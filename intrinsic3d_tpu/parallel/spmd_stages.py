@@ -454,7 +454,11 @@ class SpmdStages:
     # ------------------------------------------------------------------
 
     def colors_to_table(self, color_bd: jnp.ndarray, has_bd: jnp.ndarray):
-        """Sharded block colors → host table order (np [N, 3], has [N])."""
-        flat = np.asarray(color_bd).reshape(-1, 3)
-        has = np.asarray(has_bd).reshape(-1)
+        """Sharded block colors → host table order (np [N, 3], has [N]).
+        Grid-level-boundary gather: multi-process-safe via
+        `staging.to_host_global` (all_gather when shards are remote)."""
+        from intrinsic3d_tpu.parallel.staging import to_host_global
+
+        flat = to_host_global(color_bd).reshape(-1, 3)
+        has = to_host_global(has_bd).reshape(-1)
         return flat[self.layout.vox_slot], has[self.layout.vox_slot]

@@ -39,6 +39,27 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def to_host_global(arr) -> np.ndarray:
+    """The inverse of the staging helpers: a sharded `jax.Array` → a FULL
+    host numpy copy on every process. Single-process this is `np.asarray`;
+    under multi-process `jax.distributed` (where `np.asarray` of a
+    non-fully-addressable array raises) it allgathers the remote shards
+    (`multihost_utils.process_allgather`) so the grid-level-boundary host
+    stages (×2 upsample, thin-shell sparsify, callbacks — ``SURVEY §5.8``)
+    can run shared-nothing-redundantly on each host."""
+    try:
+        return np.asarray(arr)
+    except Exception:
+        # non-fully-addressable: reshard to replicated (one all_gather over
+        # the mesh — every process reaches this point at the same program
+        # position, so the collective matches) and read the local copy
+        mesh = arr.sharding.mesh
+        rep = jax.jit(
+            lambda x: x, out_shardings=NamedSharding(mesh, P())
+        )(arr)
+        return np.asarray(rep)
+
+
 def stage_rows(
     mesh: Mesh,
     spec: P,

@@ -109,9 +109,13 @@ class MeshLevelRunner:
         )
 
     def table_params(self, bparams_s: Params) -> Params:
-        """Brick-sharded block params → table-order Params (host gather)."""
-        sdf = np.asarray(bparams_s.sdf).reshape(-1)[self.layout.vox_slot]
-        alb = np.asarray(bparams_s.albedo).reshape(-1)[self.layout.vox_slot]
+        """Brick-sharded block params → table-order Params (grid-level
+        boundary host gather; multi-process-safe via
+        `staging.to_host_global`)."""
+        from intrinsic3d_tpu.parallel.staging import to_host_global
+
+        sdf = to_host_global(bparams_s.sdf).reshape(-1)[self.layout.vox_slot]
+        alb = to_host_global(bparams_s.albedo).reshape(-1)[self.layout.vox_slot]
         return Params(
             sdf=jnp.asarray(sdf),
             albedo=jnp.asarray(alb),

@@ -129,6 +129,10 @@ def run_level(tag: str):
     local_color_sum = float(
         sum(_np.asarray(sh.data, _np.float64).sum() for sh in new_bd.addressable_shards)
     )
+    # grid-level-boundary gather: every process reconstructs the FULL table
+    # (staging.to_host_global all_gathers remote shards under jax.distributed)
+    cols_tab, has_tab = stages.colors_to_table(new_bd, has_bd)
+    boundary_sum = float(_np.asarray(cols_tab, _np.float64).sum())
     return {
         "tag": tag,
         "devices": int(jax.device_count()),
@@ -140,6 +144,8 @@ def run_level(tag: str):
         "svsh_sum": float(_np.asarray(svsh.coeffs, _np.float64).sum()),
         "svsh_absmax": float(_np.abs(_np.asarray(svsh.coeffs)).max()),
         "local_color_sum": local_color_sum,
+        "boundary_sum": boundary_sum,
+        "boundary_has": int(_np.asarray(has_tab).sum()),
     }
 
 
@@ -242,6 +248,13 @@ def main():
     assert abs(mp_total - ref["local_color_sum"]) <= 1e-3 * max(
         1.0, abs(ref["local_color_sum"])
     )
+    # the boundary gather reconstructed the full table identically on BOTH
+    # processes and matches the single-process gather
+    for r in results:
+        assert abs(r["boundary_sum"] - ref["boundary_sum"]) <= 1e-3 * max(
+            1.0, abs(ref["boundary_sum"])
+        ), (r["boundary_sum"], ref["boundary_sum"])
+        assert r["boundary_has"] == ref["boundary_has"]
     print(
         f"OK: 2-process x {8 // args.nproc}-device sharded level step + stages "
         f"match the single-process mesh (cost {ref['cost0']:.6f} -> "
