@@ -54,10 +54,16 @@ def _assemble_and_solve(
     wsum = jnp.sum(w)
     data_w = jnp.where(wsum > 0, 1.0 / wsum, 1.0) * w  # [M]
 
-    # block-diagonal data term: A_s += w̃ a² H Hᵀ, b_s += w̃ a lum H
+    # block-diagonal data term: A_s += w̃ a² H Hᵀ, b_s += w̃ a lum H.
+    # The outer product is built FLAT [M, 81] instead of [M, 9, 9]: a big
+    # array with two small minor dims tile-pads both of them on TPU —
+    # measured 8.2 GB of scatter temps at M=1e6 for the [M, 9, 9] form vs
+    # 1.3 GB flat (the [M, >2.2e6, 9, 9] form crashed the remote compile
+    # helper outright; CLAUDE.md "small minor dims are poison").
     aH = H * albedo[:, None]  # [M, 9]
-    outer = aH[:, :, None] * aH[:, None, :] * data_w[:, None, None]  # [M, 9, 9]
-    A_blocks = jax.ops.segment_sum(outer, subvol, num_segments=S)  # [S, 9, 9]
+    ii, jj = jnp.divmod(jnp.arange(81, dtype=jnp.int32), 9)
+    outer = aH[:, ii] * aH[:, jj] * data_w[:, None]  # [M, 81]
+    A_blocks = jax.ops.segment_sum(outer, subvol, num_segments=S).reshape(S, 9, 9)
     b = jax.ops.segment_sum(
         aH * (data_w * lum)[:, None], subvol, num_segments=S
     )  # [S, 9]
@@ -172,30 +178,55 @@ def trilerp_subvolumes(coeffs, pts, cell_tab, cell_origin, sub_size):
     """Device twin of `Subvolumes.interpolation` + `interpolate_values`:
     −0.5 center offset, missing-neighbor weight zeroing, renormalization
     (``subvolumes.cpp:164-208``). `pts [M, 3]` world positions, `cell_tab`
-    a dense cell-id lookup from `Subvolumes.cell_lookup`. Returns `[M, 9]`."""
-    pos = pts / sub_size - 0.5
-    base = jnp.floor(pos)
-    frac = pos - base
-    offs = jnp.asarray(
-        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1],
-         [1, 1, 0], [0, 1, 1], [1, 0, 1], [1, 1, 1]],
-        jnp.int32,
+    a dense cell-id lookup from `Subvolumes.cell_lookup`. Returns `[M, 9]`.
+
+    Laid out to keep M on the MINOR axis of every big intermediate: the
+    corner loop runs as 8 unrolled steps over 1-D `[M]` columns with a
+    `[9, M]` accumulator (the naive `[M, 8, 3]`/`[M, 8, 9]` forms tile-pad
+    their small minor dims ~14-42× — part of what crashed the remote
+    compile at >2.2M voxels)."""
+    inv = 1.0 / sub_size
+    px = pts[:, 0] * inv - 0.5
+    py = pts[:, 1] * inv - 0.5
+    pz = pts[:, 2] * inv - 0.5
+    bx, by, bz = jnp.floor(px), jnp.floor(py), jnp.floor(pz)
+    fx, fy, fz = px - bx, py - by, pz - bz
+    ox = jnp.asarray(cell_origin, jnp.int32)
+    dims = cell_tab.shape
+    bxi = bx.astype(jnp.int32) - ox[0]
+    byi = by.astype(jnp.int32) - ox[1]
+    bzi = bz.astype(jnp.int32) - ox[2]
+    coeffs_t = coeffs.T  # [9, S]
+    m = pts.shape[0]
+    acc = jnp.zeros((NUM_SH, m), coeffs.dtype)
+    wsum = jnp.zeros((m,), coeffs.dtype)
+    tab_flat = cell_tab.reshape(-1)
+    for dx in (0, 1):
+        wx = fx if dx else 1.0 - fx
+        ix = bxi + dx
+        for dy in (0, 1):
+            wy = fy if dy else 1.0 - fy
+            iy = byi + dy
+            for dz in (0, 1):
+                wz = fz if dz else 1.0 - fz
+                iz = bzi + dz
+                inb = (
+                    (ix >= 0) & (ix < dims[0])
+                    & (iy >= 0) & (iy < dims[1])
+                    & (iz >= 0) & (iz < dims[2])
+                )
+                flat = (
+                    jnp.clip(ix, 0, dims[0] - 1) * dims[1]
+                    + jnp.clip(iy, 0, dims[1] - 1)
+                ) * dims[2] + jnp.clip(iz, 0, dims[2] - 1)
+                ids = jnp.where(inb, tab_flat[flat], -1)  # [M]
+                w = jnp.where(ids >= 0, wx * wy * wz, 0.0)
+                acc = acc + coeffs_t[:, jnp.maximum(ids, 0)] * w[None, :]
+                wsum = wsum + w
+    out = jnp.where(
+        wsum[None, :] > 0.0, acc / jnp.where(wsum == 0.0, 1.0, wsum)[None, :], 0.0
     )
-    corners = base.astype(jnp.int32)[:, None, :] + offs[None, :, :]  # [M, 8, 3]
-    w = jnp.prod(
-        jnp.where(offs[None, :, :] == 1, frac[:, None, :], 1.0 - frac[:, None, :]),
-        axis=-1,
-    )  # [M, 8]
-    idx3 = corners - jnp.asarray(cell_origin, jnp.int32)
-    dims = jnp.asarray(cell_tab.shape, jnp.int32)
-    inb = jnp.all((idx3 >= 0) & (idx3 < dims), axis=-1)
-    idx3c = jnp.clip(idx3, 0, dims - 1)
-    ids = jnp.where(inb, cell_tab[idx3c[..., 0], idx3c[..., 1], idx3c[..., 2]], -1)
-    w = jnp.where(ids >= 0, w, 0.0)
-    wsum = jnp.sum(w, axis=-1, keepdims=True)
-    w = jnp.where(wsum > 0.0, w / jnp.where(wsum == 0.0, 1.0, wsum), 0.0)
-    vals = coeffs[jnp.maximum(ids, 0)]  # [M, 8, 9]
-    return jnp.sum(vals * w[..., None], axis=1)
+    return out.T  # [M, 9]
 
 
 @dataclasses.dataclass
